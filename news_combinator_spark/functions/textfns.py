@@ -1,0 +1,237 @@
+"""Tokenization, TF-IDF, MinHash/SimHash, cosine, language/quality.
+
+Pure deterministic kernels (shared by the engine's pandas UDFs and the
+pure-Python parity oracle) re-expressing the reference semantics:
+
+- term frequency over a fixed vocab (chnsegmt/tfidf.py:9-24;
+  reconstruction/category/categorize.cpp:180-189)
+- cosine with the v2 denominator guard (categorize.cpp:191-207:
+  denom < 1e-5 -> 0.0) and the v1 guard (basicfuncs.py:14-30:
+  denom == 0 -> None)
+- top-K TF-IDF tags with avg-idf OOV fallback + stopword/1-char drop
+  (reconstruction/category/src/KeywordExtractor.hpp:54-136)
+
+Chinese segmentation: the reference uses jieba / cppjieba
+(SURVEY.md F11); jieba is not in this container, so `tokenize` is
+whitespace + CJK-bigram fallback behind an import-try on jieba.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+import struct
+from collections import Counter
+
+import numpy as np
+
+try:  # pragma: no cover - jieba absent in this container
+    import jieba  # type: ignore
+
+    _HAS_JIEBA = True
+except Exception:  # pragma: no cover
+    _HAS_JIEBA = False
+
+_CJK_RE = re.compile(r"[一-鿿]+")
+_WS_RE = re.compile(r"\s+")
+# BPE-ish token pattern: letter runs, digit runs, single other symbols.
+BPE_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokens; CJK runs segmented (jieba if present, else
+    overlapping bigrams — deterministic in both cases)."""
+    if not text:
+        return []
+    out: list[str] = []
+    for piece in _WS_RE.split(text.strip()):
+        if not piece:
+            continue
+        if _CJK_RE.search(piece):
+            if _HAS_JIEBA:
+                out.extend(t for t in jieba.cut(piece) if t.strip())
+            else:
+                out.extend(_cjk_bigrams(piece))
+        else:
+            out.append(piece)
+    return out
+
+
+def _cjk_bigrams(piece: str) -> list[str]:
+    runs = _CJK_RE.split(piece)
+    cjks = _CJK_RE.findall(piece)
+    toks: list[str] = []
+    for i, run in enumerate(runs):
+        if run:
+            toks.append(run)
+        if i < len(cjks):
+            s = cjks[i]
+            if len(s) == 1:
+                toks.append(s)
+            else:
+                toks.extend(s[j : j + 2] for j in range(len(s) - 1))
+    return toks
+
+
+def term_freq(tokens: list[str], vocab: set[str] | None = None) -> dict[str, int]:
+    """Counts; when vocab given, only vocab words are counted and
+    missing vocab words appear with 0 (reference: the seed's tag set is
+    the vector space — tfidf.py:9-24 / categorize.cpp:180-189)."""
+    c = Counter(tokens)
+    if vocab is None:
+        return dict(c)
+    return {w: c.get(w, 0) for w in vocab}
+
+
+def cosine_guarded(v1: dict[str, float], v2: dict[str, float], version: int = 2):
+    """Cosine over the union key space with reference guard semantics.
+
+    version=2 -> 0.0 when denominator < 1e-5 (categorize.cpp:203-206);
+    version=1 -> None when denominator == 0 (basicfuncs.py:27-30).
+    """
+    keys = v1.keys() | v2.keys()
+    num = sum(v1.get(k, 0.0) * v2.get(k, 0.0) for k in keys)
+    d1 = sum(x * x for x in v1.values())
+    d2 = sum(x * x for x in v2.values())
+    denom = math.sqrt(d1 * d2)
+    if version == 2:
+        return 0.0 if denom < 1e-5 else num / denom
+    return None if denom == 0 else num / denom
+
+
+def top_k_tags(
+    tokens: list[str],
+    idf: dict[str, float],
+    k: int = 15,
+    stopwords: set[str] | None = None,
+) -> list[str]:
+    """Top-K words by tf*idf, avg-idf fallback for OOV, stopwords and
+    single-char tokens dropped; deterministic tie-break on the word
+    (KeywordExtractor.hpp:54-99; v2 K=15 per categorize.cpp:23)."""
+    stopwords = stopwords or set()
+    avg_idf = (sum(idf.values()) / len(idf)) if idf else 1.0
+    counts = Counter(
+        t for t in tokens if len(t) > 1 and t not in stopwords
+    )
+    total = sum(counts.values()) or 1
+    weighted = [
+        (cnt / total * idf.get(w, avg_idf), w) for w, cnt in counts.items()
+    ]
+    weighted.sort(key=lambda p: (-p[0], p[1]))
+    return [w for _, w in weighted[:k]]
+
+
+# ---------------------------------------------------------------------------
+# Hash sketches (deterministic across processes: blake2b-seeded).
+# ---------------------------------------------------------------------------
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _stable_hash64(token: str) -> int:
+    return struct.unpack(
+        "<Q", hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
+    )[0]
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_MH_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(tokens: list[str], num_perm: int = 64) -> list[int]:
+    """MinHash over the token *set* via tabulated affine permutations
+    h_i(x) = (a_i*x + b_i) mod 2^61-1 (Broder '97 resemblance sketch)."""
+    if num_perm not in _MH_CACHE:
+        _MH_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _MH_CACHE[num_perm]
+    toks = set(tokens)
+    if not toks:
+        return [int(_MERSENNE61)] * num_perm
+    xs = np.fromiter(
+        (_stable_hash64(t) % _MERSENNE61 for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    # (num_perm, n) affine transform in uint64 with python-int fallback
+    # avoided: use object math only when overflow would occur -> do mod
+    # in two steps with uint64-safe multiplication via Python ints on
+    # the (small) token axis is too slow; instead use float128-free
+    # trick: split a into hi/lo 31-bit halves.
+    a_lo = a & np.uint64(0x7FFFFFFF)
+    a_hi = a >> np.uint64(31)
+    x = xs[None, :]
+    lo = (a_lo[:, None] * x) % _MERSENNE61
+    hi = (a_hi[:, None] * x) % _MERSENNE61
+    prod = (lo + ((hi << np.uint64(31)) % _MERSENNE61)) % _MERSENNE61
+    sig = (prod + b[:, None]) % _MERSENNE61
+    return [int(v) for v in sig.min(axis=1)]
+
+
+def lsh_bands(signature: list[int], bands: int = 16) -> list[tuple[int, int]]:
+    """(band_id, band_hash) pairs; docs sharing any pair are candidates."""
+    rows = len(signature) // bands
+    out = []
+    for bi in range(bands):
+        chunk = tuple(signature[bi * rows : (bi + 1) * rows])
+        h = hash_bytes_64(repr(chunk).encode())
+        out.append((bi, h))
+    return out
+
+
+def hash_bytes_64(data: bytes) -> int:
+    return struct.unpack(
+        "<q", hashlib.blake2b(data, digest_size=8).digest()
+    )[0]
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Charikar SimHash: signed bit-vote over per-token 64-bit hashes
+    weighted by term frequency; returns signed int64."""
+    if not tokens:
+        return 0
+    counts = Counter(tokens)
+    votes = np.zeros(64, dtype=np.int64)
+    for tok, cnt in counts.items():
+        h = _stable_hash64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes += np.where(bits.astype(bool), cnt, -cnt)
+    val = 0
+    for i in range(64):
+        if votes[i] > 0:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+
+
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    if not text or len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# Tiny per-language stopword lists for the heuristic language-id
+# (kept SQL-expressible so the DuckDB oracle can mirror it exactly).
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "das", "und", "nicht"],
+}
