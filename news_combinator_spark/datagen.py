@@ -50,7 +50,7 @@ BASE_DAY = 20240101
 DEFAULT_BUDGET = 3
 H0_BUDGET = 2  # host h0.test gets a tighter politeness budget
 ROBOTS_BLOCKED_HOST = "h1.test"
-ROBOTS_BLOCKED_DAY = 20240103
+ROBOTS_BLOCKED_DAY = 20240104  # odd day offset so h1.test (odd ids) can hit it
 SEED_DOC_IDS = (0, 1, 2, 3)
 CRAWL_ROUNDS = 3
 
@@ -144,8 +144,8 @@ def budgets_df(spark: SparkSession) -> DataFrame:
 
 
 def robots_df(spark: SparkSession) -> DataFrame:
-    """robots(host, disallow_prefix): one rule — h1.test disallows the
-    20240103 day directory (engine handles arbitrary prefix lists)."""
+    """robots(host, disallow_prefix): one rule — h1.test disallows one
+    day directory (engine handles arbitrary prefix lists)."""
     rows = [
         (ROBOTS_BLOCKED_HOST,
          f"http://{ROBOTS_BLOCKED_HOST}/a/{ROBOTS_BLOCKED_DAY}/")

@@ -1,0 +1,278 @@
+"""URL-frontier micro-round crawl scheduler.
+
+Re-expresses the reference's crawl loop (Scrapy CrawlSpider BFS /
+phpfetcher max_depth=2, reconstruction/crawler/crawler.php:420-444) as
+a partitioned priority queue over DataFrames, per BASELINE.json
+north_rule:
+
+per round:  frontier --(politeness window per host)--> scheduled
+            scheduled --(fetch = html lookup / pandas-UDF HTTP)--> fetched
+            fetched --(link extraction kernel)--> candidates
+            candidates --(canonicalize, allowed-hosts, robots)--> eligible
+            eligible --(bloom prefilter + exact anti-join vs seen)--> new
+            frontier' = deferred ∪ new ; seen' = seen ∪ new
+
+Determinism contract (SURVEY.md §7 risk 1): total crawl order is
+(round, priority, host, url) — never partition iteration order. The
+politeness budget replaces wall-clock delays (risk 4), so the schedule
+is reproducible: within a host, URLs are taken by (priority, url).
+
+Scale notes (10^10-URL frontier):
+- the politeness window is two-phase: per-(host, salt) local top-k
+  first (defuses hot-host skew; budget rows per salt survive), then the
+  exact per-host window over the survivors.
+- seen-set anti-join is prefiltered by a broadcast bloom (bloom.py), so
+  the per-round shuffle is proportional to *maybe-seen* candidates, not
+  all candidates.
+- frontier/seen are localCheckpoint'ed each round (constant-depth
+  lineage; on a cluster this is an Iceberg snapshot commit, which also
+  gives resumability — here we expose save/load parquet checkpoints).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.extract import links_udf
+from ..functions.urls import canonicalize_udf
+from .bloom import Bloom, build_bloom, maybe_seen_udf, optimal_params
+
+FRONTIER_COLS = ["url", "host", "priority"]
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    frontier: int = 0
+    scheduled: int = 0
+    deferred: int = 0
+    discovered: int = 0
+    robots_blocked: int = 0
+    deduped: int = 0
+    enqueued: int = 0
+
+
+@dataclass
+class CrawlResult:
+    fetched: DataFrame  # round, url, host, priority, fetch_order
+    lineage: list[RoundMetrics] = field(default_factory=list)
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (m.round, m.frontier, m.scheduled, m.deferred, m.discovered,
+             m.robots_blocked, m.deduped, m.enqueued)
+            for m in self.lineage
+        ]
+        return spark.createDataFrame(
+            rows,
+            "round int, frontier long, scheduled long, deferred long, "
+            "discovered long, robots_blocked long, deduped long, enqueued long",
+        )
+
+
+def schedule_per_host(
+    frontier: DataFrame, budgets: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
+    """Politeness: keep at most `budget` URLs per host this round,
+    chosen by (priority, url). Returns frontier columns + `taken` flag.
+
+    With salt_buckets > 0, a pre-pass takes the local top-(budget) per
+    (host, salt) so the final per-host window only sees
+    budget*salt_buckets rows per host — O(1) per hot host instead of
+    its entire frontier share.
+    """
+    df = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(1))
+    )
+    if salt_buckets > 0:
+        salted = df.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        )
+        w_local = Window.partitionBy("host", "salt").orderBy("priority", "url")
+        survivors = (
+            salted.withColumn("lrn", F.row_number().over(w_local))
+            .filter(F.col("lrn") <= F.col("budget"))
+            .drop("lrn", "salt")
+        )
+        rest = salted.join(survivors.select("url"), "url", "left_anti").drop(
+            "salt"
+        )
+        w = Window.partitionBy("host").orderBy("priority", "url")
+        top = survivors.withColumn("rn", F.row_number().over(w)).withColumn(
+            "taken", F.col("rn") <= F.col("budget")
+        )
+        return top.drop("rn", "budget").unionByName(
+            rest.withColumn("taken", F.lit(False)).drop("budget")
+        )
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("taken", F.col("rn") <= F.col("budget"))
+        .drop("rn", "budget")
+    )
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop candidate URLs matching any (host, disallow_prefix) rule.
+    robots is tiny -> broadcast; prefix match via startswith."""
+    if robots is None:
+        return candidates
+    r = F.broadcast(robots.withColumnRenamed("host", "r_host"))
+    joined = candidates.join(
+        r,
+        (F.col("host") == F.col("r_host"))
+        & F.col("url").startswith(F.col("disallow_prefix")),
+        "left",
+    )
+    return joined.filter(F.col("r_host").isNull()).drop(
+        "r_host", "disallow_prefix"
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    budgets: DataFrame,
+    robots: DataFrame | None = None,
+    rounds: int = 3,
+    use_bloom: bool = False,
+    bloom_expected: int = 1_000_000,
+    salt_buckets: int = 0,
+    allowed_host_suffix: str | None = None,
+    checkpoint_dir: str | None = None,
+    collect_lineage: bool = True,
+) -> CrawlResult:
+    """Run `rounds` micro-rounds; return every fetched URL with its
+    round and the deterministic global fetch_order.
+
+    `pages` is the web: (url, host, priority, html, ...). Fetch = join
+    on url (the sandbox stand-in for the per-host pandas-UDF HTTP
+    fetcher); link targets must exist in `pages` (dangling = DNS fail).
+    """
+    # The "web" is probed by url every round: pre-partition once on the
+    # join key so each round's fetch/priority lookups co-locate without
+    # a fresh full shuffle of pages.
+    web = pages.select("url", "host", "priority", "html").repartition(
+        spark.sparkContext.defaultParallelism, "url"
+    )
+    web = web.persist()
+    web.count()
+
+    frontier = seeds.select(*FRONTIER_COLS).localCheckpoint()
+    seen = frontier.select("url").localCheckpoint()
+    bloom: Bloom | None = None
+    maybe_udf = None
+    if use_bloom:
+        m, k = optimal_params(bloom_expected, 1e-6)
+        bloom = build_bloom(seen, "url", m, k)
+        maybe_udf = maybe_seen_udf(spark, bloom)
+
+    fetched_rounds: list[DataFrame] = []
+    lineage: list[RoundMetrics] = []
+
+    for r in range(rounds):
+        metrics = RoundMetrics(round=r)
+        sched = schedule_per_host(frontier, budgets, salt_buckets).persist()
+        taken = sched.filter("taken").drop("taken")
+        deferred = sched.filter("NOT taken").drop("taken")
+
+        fetched = taken.join(web.withColumnRenamed("host", "w_host")
+                             .withColumnRenamed("priority", "w_priority"),
+                             "url", "inner")
+        fetched = fetched.select(
+            F.lit(r).alias("round"), "url", "host", "priority", "html"
+        ).persist()
+        fetched_rounds.append(fetched.drop("html"))
+
+        if collect_lineage:
+            metrics.frontier = frontier.count()
+            metrics.scheduled = fetched.count()
+            metrics.deferred = metrics.frontier - metrics.scheduled
+
+        if r < rounds - 1:
+            links = fetched.select(
+                F.explode(links_udf(F.col("html"))).alias("raw_url")
+            )
+            cand = links.select(
+                canonicalize_udf(F.col("raw_url")).alias("url")
+            )
+            if allowed_host_suffix:
+                cand = cand.filter(
+                    F.parse_url("url", F.lit("HOST")).endswith(
+                        allowed_host_suffix
+                    )
+                )
+            # resolve target host/priority (and existence) from the web
+            cand = (
+                cand.dropDuplicates(["url"])
+                .join(web.select("url", "host", "priority"), "url", "inner")
+            )
+            n_cand = cand.count() if collect_lineage else None
+            cand = apply_robots(cand, robots)
+            if collect_lineage:
+                metrics.discovered = n_cand
+                after_robots = cand.count()
+                metrics.robots_blocked = n_cand - after_robots
+
+            if maybe_udf is not None:
+                flagged = cand.withColumn("maybe", maybe_udf(F.col("url")))
+                fresh = flagged.filter("NOT maybe").drop("maybe")
+                suspect = flagged.filter("maybe").drop("maybe")
+                new = fresh.unionByName(
+                    suspect.join(seen, "url", "left_anti")
+                )
+            else:
+                new = cand.join(seen, "url", "left_anti")
+            new = new.select(*FRONTIER_COLS).localCheckpoint()
+            if collect_lineage:
+                metrics.enqueued = new.count()
+                metrics.deduped = metrics.discovered - metrics.robots_blocked - metrics.enqueued
+
+            frontier = deferred.select(*FRONTIER_COLS).unionByName(
+                new
+            ).localCheckpoint()
+            seen = seen.unionByName(new.select("url")).localCheckpoint()
+            if bloom is not None:
+                m2, k2 = bloom.m, bloom.k
+                delta = build_bloom(new, "url", m2, k2)
+                bloom.or_(delta.bits)
+                maybe_udf = maybe_seen_udf(spark, bloom)
+            if checkpoint_dir is not None:
+                save_checkpoint(frontier, seen, checkpoint_dir, r + 1)
+        sched.unpersist()
+        lineage.append(metrics)
+
+    all_fetched = fetched_rounds[0]
+    for df in fetched_rounds[1:]:
+        all_fetched = all_fetched.unionByName(df)
+    order_w = Window.orderBy("round", "priority", "host", "url")
+    result = all_fetched.withColumn(
+        "fetch_order", F.row_number().over(order_w)
+    )
+    return CrawlResult(fetched=result, lineage=lineage)
+
+
+# --------------------------------------------------------------------------
+# Checkpoint / resume (Iceberg-snapshot stand-in; SURVEY.md §2.9)
+# --------------------------------------------------------------------------
+
+def save_checkpoint(frontier: DataFrame, seen: DataFrame, path: str, rnd: int):
+    frontier.write.mode("overwrite").parquet(
+        os.path.join(path, f"round={rnd}", "frontier")
+    )
+    seen.write.mode("overwrite").parquet(
+        os.path.join(path, f"round={rnd}", "seen")
+    )
+
+
+def load_checkpoint(spark: SparkSession, path: str, rnd: int):
+    base = os.path.join(path, f"round={rnd}")
+    return (
+        spark.read.parquet(os.path.join(base, "frontier")),
+        spark.read.parquet(os.path.join(base, "seen")),
+    )

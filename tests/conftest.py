@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from news_combinator_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="nc-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{SF_MED}/{name}.parquet'"
+        )
+    return con

@@ -1,0 +1,184 @@
+"""Frontier scheduler vs the unrolled DuckDB oracle + invariants."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from news_combinator_spark.datagen import (
+    CRAWL_ROUNDS,
+    budgets_df,
+    pages_from_documents,
+    robots_df,
+    seeds_df,
+)
+from news_combinator_spark.operators.frontier import (
+    apply_robots,
+    crawl,
+    schedule_per_host,
+)
+from news_combinator_spark.oracle.crawl_sql import (
+    crawl_oracle_sql,
+    seen_set_oracle_sql,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark):
+    pages = pages_from_documents(spark, SF_SMALL)
+    res = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+    )
+    return res
+
+
+def _n_docs() -> int:
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchone()[0]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMALL}/documents.parquet'"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_crawl_matches_oracle_exactly(crawl_result):
+    got = (
+        crawl_result.fetched.toPandas()
+        .sort_values("fetch_order")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _oracle(crawl_oracle_sql(_n_docs()))
+        .sort_values("fetch_order")
+        .reset_index(drop=True)
+    )
+    cols = ["round", "url", "host", "priority", "fetch_order"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype(str), exp[cols].astype(str)
+    )
+
+
+def test_bloom_prefilter_same_result(spark, crawl_result):
+    pages = pages_from_documents(spark, SF_SMALL)
+    res_bloom = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        use_bloom=True,
+        bloom_expected=10_000,
+        collect_lineage=False,
+    )
+    a = crawl_result.fetched.toPandas().sort_values("fetch_order")
+    b = res_bloom.fetched.toPandas().sort_values("fetch_order")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_salted_scheduling_same_result(spark, crawl_result):
+    pages = pages_from_documents(spark, SF_SMALL)
+    res_salted = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        salt_buckets=4,
+        collect_lineage=False,
+    )
+    a = crawl_result.fetched.toPandas().sort_values("fetch_order")
+    b = res_salted.fetched.toPandas().sort_values("fetch_order")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_politeness_budget_never_exceeded(crawl_result):
+    got = crawl_result.fetched.toPandas()
+    per = got.groupby(["round", "host"]).size()
+    for (rnd, host), cnt in per.items():
+        cap = 2 if host == "h0.test" else 3
+        assert cnt <= cap, f"round {rnd} host {host} fetched {cnt} > {cap}"
+
+
+def test_no_url_fetched_twice(crawl_result):
+    got = crawl_result.fetched.toPandas()
+    assert got.url.is_unique
+
+
+def test_seen_set_matches_oracle(spark, crawl_result):
+    # every fetched url must be in the oracle's final seen set
+    seen = set(_oracle(seen_set_oracle_sql(_n_docs()))["url"])
+    got = set(crawl_result.fetched.toPandas().url)
+    assert got <= seen
+
+
+def test_schedule_per_host_budget_and_order(spark):
+    rows = [
+        (f"http://h0.test/{i:02d}", "h0.test", i % 2) for i in range(6)
+    ] + [("http://h1.test/00", "h1.test", 0)]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, priority int"
+    )
+    budgets = spark.createDataFrame(
+        [("h0.test", 2), ("h1.test", 3)], "host string, budget int"
+    )
+    out = schedule_per_host(frontier, budgets).toPandas()
+    taken = out[out.taken].sort_values("url")
+    h0 = taken[taken.host == "h0.test"]
+    # budget 2, ordered by (priority, url): priority-0 urls 00,02
+    assert list(h0.url) == ["http://h0.test/00", "http://h0.test/02"]
+    assert len(taken[taken.host == "h1.test"]) == 1
+
+
+def test_apply_robots_prefix(spark):
+    cand = spark.createDataFrame(
+        [
+            ("http://h1.test/a/20240104/x.htm", "h1.test", 0),
+            ("http://h1.test/a/20240105/y.htm", "h1.test", 0),
+            ("http://h2.test/a/20240104/z.htm", "h2.test", 0),
+        ],
+        "url string, host string, priority int",
+    )
+    robots = spark.createDataFrame(
+        [("h1.test", "http://h1.test/a/20240104/")],
+        "host string, disallow_prefix string",
+    )
+    out = apply_robots(cand, robots).toPandas()
+    assert set(out.url) == {
+        "http://h1.test/a/20240105/y.htm",
+        "http://h2.test/a/20240104/z.htm",
+    }
+
+
+def test_checkpoint_roundtrip(spark, tmp_path, crawl_result):
+    from news_combinator_spark.operators.frontier import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    frontier = spark.createDataFrame(
+        [("u1", "h", 1)], "url string, host string, priority int"
+    )
+    seen = frontier.select("url")
+    save_checkpoint(frontier, seen, str(tmp_path), 1)
+    f2, s2 = load_checkpoint(spark, str(tmp_path), 1)
+    assert f2.collect()[0].url == "u1"
+    assert s2.count() == 1
