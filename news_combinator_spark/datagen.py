@@ -157,12 +157,16 @@ def robots_df(spark: SparkSession) -> DataFrame:
 # Reference-grammar corpus (pure Python) — parity tests + crawl bench.
 # ---------------------------------------------------------------------------
 
-_WORDS = (
+_STEMS = (
     "market economy policy sport game match election minister storm "
     "rain flood tech phone chip launch rocket space star film music "
     "award court case law health virus study school exam city road "
     "bridge train port trade tax bank loan debt growth jobs wage"
 ).split()
+# Large vocabulary (~2000 distinct tokens) so unrelated articles share
+# little vocabulary — near-dup structure comes from injection, not from
+# a tiny word pool.
+_WORDS = [f"{stem}{i}" for stem in _STEMS for i in range(48)]
 
 
 def _rand_text(rng: random.Random, n_words: int) -> str:

