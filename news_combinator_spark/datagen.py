@@ -68,12 +68,16 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(pages_select_sql(n, dialect="spark"))
 
 
-def pages_select_sql(n: int, dialect: str) -> str:
+def pages_select_sql(n: int | str, dialect: str) -> str:
     """One SELECT producing the pages table from `documents`.
 
     dialect 'spark' reads the temp view __docs_for_pages; 'duckdb'
     reads the pre-registered `documents` view. Every expression is
     portable between the two engines (verified in tests).
+
+    `n` may be an int or a SQL scalar-subquery string like
+    '(SELECT count(*) FROM documents)' so oracle SQL stays valid at
+    any scale factor.
     """
     src = "__docs_for_pages" if dialect == "spark" else "documents"
     if dialect == "spark":
@@ -124,7 +128,10 @@ def pages_select_sql(n: int, dialect: str) -> str:
     """
 
 
-def pages_cte_duckdb(n: int) -> str:
+N_DOCS_SUBQUERY = "(SELECT count(*) FROM documents)"
+
+
+def pages_cte_duckdb(n: int | str) -> str:
     """DuckDB CTE body: `pages AS (...)` for embedding in oracle SQL."""
     return f"pages AS ({pages_select_sql(n, 'duckdb')})"
 

@@ -1,0 +1,269 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates exactly (file-exists / UNIQUE keys,
+pipelines.py:19-23, reetsee_news.sql:15,33); a 100 TB corpus also
+needs near-dup families. All variants return a DataFrame and stay
+JVM-side where the semantics allow (exact paths are pure built-ins).
+
+- exact_dedup:        first row per content hash (groupBy/window)
+- exact_dup_groups:   hash -> members (the audit view of the above)
+- minhash_near_dups:  shingle -> MinHash -> LSH bands -> bucket pairs
+                      -> Jaccard verify (reuses clustering kernels)
+- simhash_near_dups:  64-bit SimHash, Hamming <= radius via 4-way
+                      block rotation (pigeonhole: any pair at distance
+                      <=3 shares at least one of 4 16-bit blocks)
+- ngram_jaccard_pairs: character n-gram Jaccard for candidate pairs
+- embedding_near_dups: cosine >= tau over an embedding column
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import (
+    char_ngrams,
+    jaccard,
+    minhash_signature,
+    simhash64,
+    tokenize,
+)
+from .clustering import candidate_pairs
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_cols=None) -> DataFrame:
+    """Keep the first row (lowest key) per exact content hash.
+    Pure built-ins: sha2 + window — whole-stage codegen, one shuffle."""
+    key_cols = key_cols or ["doc_id"]
+    with_hash = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_hash").orderBy(*key_cols)
+    return (
+        with_hash.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(content_hash, n_copies, member doc_ids sorted) for hashes with
+    more than one row."""
+    return (
+        df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter("n_copies > 1")
+    )
+
+
+def _tokens_df(df: DataFrame, text_col: str) -> DataFrame:
+    def _tok(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": pdf[text_col].map(lambda t: tokenize(t or "")),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _tok, schema="doc_id long, tokens array<string>"
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(a, b, jaccard_sim) pairs with token-set Jaccard >= threshold.
+    LSH candidates then exact verify — never a full cross join."""
+    toks = _tokens_df(df, text_col)
+
+    def _sig(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": pdf["tokens"].map(
+                        lambda t: minhash_signature(list(t), num_perm)
+                    ),
+                }
+            )
+
+    sigs = toks.mapInPandas(_sig, schema="doc_id long, sig array<long>")
+    pairs = candidate_pairs(sigs, bands)
+    joined = (
+        pairs.join(
+            toks.select(
+                F.col("doc_id").alias("a"), F.col("tokens").alias("a_tok")
+            ),
+            "a",
+        ).join(
+            toks.select(
+                F.col("doc_id").alias("b"), F.col("tokens").alias("b_tok")
+            ),
+            "b",
+        )
+    )
+
+    def _verify(batches):
+        for pdf in batches:
+            sims = [
+                jaccard(set(x), set(y))
+                for x, y in zip(pdf["a_tok"], pdf["b_tok"])
+            ]
+            out = pdf[["a", "b"]].copy()
+            out["jaccard_sim"] = sims
+            yield out
+
+    return joined.mapInPandas(
+        _verify, schema="a long, b long, jaccard_sim double"
+    ).filter(F.col("jaccard_sim") >= threshold)
+
+
+def simhash_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    def _sh(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": pdf[text_col].map(
+                        lambda t: simhash64(tokenize(t or ""))
+                    ),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _sh, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", radius: int = 3
+) -> DataFrame:
+    """(a, b, hamming) with Hamming(simhash_a, simhash_b) <= radius.
+
+    Pigeonhole blocking: split 64 bits into radius+1 blocks; any pair
+    within `radius` agrees on >=1 block -> groupBy(block_id, block
+    value) generates candidates, exact popcount verifies. All JVM-side
+    bit arithmetic (shiftright / xor / bit_count).
+    """
+    sh = simhash_df(df, text_col)
+    n_blocks = radius + 1
+    width = 64 // n_blocks
+    blocks = None
+    for i in range(n_blocks):
+        piece = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("block_id"),
+            (
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+            ).alias("block_val"),
+        )
+        blocks = piece if blocks is None else blocks.union(piece)
+
+    left = blocks.select(
+        "block_id",
+        "block_val",
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    right = blocks.select(
+        "block_id",
+        "block_val",
+        F.col("doc_id").alias("b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    cands = (
+        left.join(right, ["block_id", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    return cands.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= radius).select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Character n-gram Jaccard for given (a, b) pairs."""
+    joined = (
+        pairs.join(
+            df.select(F.col("doc_id").alias("a"), F.col(text_col).alias("ta")),
+            "a",
+        ).join(
+            df.select(F.col("doc_id").alias("b"), F.col(text_col).alias("tb")),
+            "b",
+        )
+    )
+
+    def _jac(batches):
+        for pdf in batches:
+            sims = [
+                jaccard(char_ngrams(x or "", n), char_ngrams(y or "", n))
+                for x, y in zip(pdf["ta"], pdf["tb"])
+            ]
+            out = pdf[["a", "b"]].copy()
+            out["ngram_jaccard"] = sims
+            yield out
+
+    return joined.mapInPandas(
+        _jac, schema="a long, b long, ngram_jaccard double"
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """(a, b, cos_sim) pairs with cosine >= threshold.
+
+    JVM-side vector math (zip_with + aggregate — no Python). Without a
+    bucket column this is a within-bucket cross join over a single
+    bucket; pass bucket_col (e.g. an LSH / coarse-quantizer cell) to
+    bound the pair blow-up at scale.
+    """
+    norm = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(bucket_col).alias("bkt")] if bucket_col else [F.lit(0).alias("bkt")] ),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = norm.select(
+        F.col("id").alias("a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bkt",
+    )
+    b = norm.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bkt",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )

@@ -1,0 +1,964 @@
+"""The driver-facing query battery: Spark callable + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 (plus the
+training-data-pipeline ops) appears here twice: once as a PySpark
+DataFrame program, once as ANSI SQL DuckDB runs on the same parquet
+views. Column names and dtypes are aligned pairwise; float outputs are
+rounded so cross-engine summation-order ulps can't flip the hash.
+
+Engine-only operators (LSH clustering, bloom crawl, IVF ANN,
+multimodal) have no oracle entry -> the driver records rows-only
+checks; their exact semantics are pinned by pytest parity oracles
+instead (tests/, news_combinator_spark/oracle/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datagen import (
+    CRAWL_ROUNDS,
+    N_DOCS_SUBQUERY,
+    budgets_df,
+    pages_from_documents,
+    pages_select_sql,
+    reference_grammar_pages,
+    robots_df,
+    seeds_df,
+)
+from ..functions.extract import links_udf, markers_udf, passage_udf, title_udf
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators.clustering import cluster_documents
+from ..operators.frontier import crawl
+from ..operators.multimodal import encode_fake_image, with_image_features
+from ..operators.summarize import add_abstract_column
+from ..oracle.crawl_sql import crawl_oracle_sql, seen_set_oracle_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pages_cte() -> str:
+    return f"WITH pages AS ({pages_select_sql(N_DOCS_SUBQUERY, 'duckdb')})"
+
+
+# ===========================================================================
+# Crawl / extraction family (pages derived from documents — SURVEY §2.1/2.10)
+# ===========================================================================
+
+def q_extract_text(spark, sf_dir):
+    """S4/P2/A4: byte-identical title+passage extraction from html
+    binary (crawlernewsspider.py:31-32, news_func.py:1-5)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url",
+        title_udf(F.col("html")).alias("title"),
+        passage_udf(F.col("html")).alias("text"),
+    )
+
+
+SQL_EXTRACT_TEXT = (
+    _pages_cte()
+    + """
+    SELECT url, 'Doc ' || cast(doc_id as string) AS title, text FROM pages
+    """
+)
+
+
+def q_extract_links(spark, sf_dir):
+    """S2: link extraction (SgmlLinkExtractor analog)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url", F.explode(links_udf(F.col("html"))).alias("link")
+    )
+
+
+SQL_EXTRACT_LINKS = (
+    _pages_cte()
+    + """
+    SELECT url, next1_url AS link FROM pages
+    UNION ALL SELECT url, next2_url FROM pages
+    UNION ALL SELECT url, 'http://offsite.example/x' FROM pages
+    """
+)
+
+
+def q_extract_markers(spark, sf_dir):
+    """P2: embedded id markers via the reference regexes
+    (crawlernewsspider.py:72 cmt_id)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url", markers_udf(F.col("html"))["cmt_id"].alias("cmt_id")
+    )
+
+
+SQL_EXTRACT_MARKERS = (
+    _pages_cte()
+    + r"""
+    SELECT url, regexp_extract(html_str, 'cmt_id = (.*);', 1) AS cmt_id
+    FROM pages
+    """
+)
+
+
+def q_url_parse(spark, sf_dir):
+    """P1/F1: URL grammar capture groups -> columns."""
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host_parsed"),
+        F.regexp_extract("url", r"/a/(\d{8})/", 1).cast("int").alias("day"),
+        F.regexp_extract("url", r"/(\d{9})\.htm", 1).alias("page_id"),
+    )
+
+
+SQL_URL_PARSE = (
+    _pages_cte()
+    + r"""
+    SELECT url,
+           regexp_extract(url, 'http://([^/]+)/', 1) AS host_parsed,
+           cast(regexp_extract(url, '/a/(\d{8})/', 1) as int) AS day,
+           regexp_extract(url, '/(\d{9})\.htm', 1) AS page_id
+    FROM pages
+    """
+)
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """S1-S3/C1-C5: the full frontier scheduler — politeness budgets,
+    robots, priority, seen-dedup; output = deterministic crawl order."""
+    pages = pages_from_documents(spark, sf_dir)
+    res = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        collect_lineage=False,
+    )
+    return res.fetched.select(
+        F.col("round").cast("int").alias("round"),
+        "url",
+        "host",
+        F.col("priority").cast("int").alias("priority"),
+        F.col("fetch_order").cast("int").alias("fetch_order"),
+    )
+
+
+SQL_CRAWL_FRONTIER = crawl_oracle_sql(N_DOCS_SUBQUERY)
+
+
+def q_crawl_seen_set(spark, sf_dir):
+    """C1: final URL-seen set (north_rule invariant)."""
+    pages = pages_from_documents(spark, sf_dir)
+    res = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        use_bloom=True,
+        bloom_expected=100_000,
+        collect_lineage=False,
+    )
+    # fetched ∪ still-enqueued == seen; engine exposes fetched here and
+    # the seen set equals the oracle's enqueue closure.
+    return res.fetched.select("url")
+
+
+SQL_CRAWL_FETCHED_URLS = (
+    crawl_oracle_sql(N_DOCS_SUBQUERY).rsplit("SELECT cast(round as int)", 1)[0]
+    + "SELECT url FROM fetched"
+)
+
+
+# ===========================================================================
+# Serving family (SURVEY §2: P5, O1-O3, W4, W5, A7, J4)
+# ===========================================================================
+
+def q_index_daterange(spark, sf_dir):
+    """P5+O1+A7: date-range clamp + per-day counts, newest first."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    max_day = ev.agg(F.max("day")).collect()[0][0]
+    cutoff = int(max_day) - 2  # 3-day default range (indexAction.php:8-13)
+    return (
+        ev.filter(F.col("day") >= cutoff)
+        .groupBy("day")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.desc("day"))
+    )
+
+
+SQL_INDEX_DATERANGE = """
+    WITH ev AS (
+      SELECT cast(strftime(ts, '%Y%m%d') as int) AS day, value FROM events
+    ), mx AS (SELECT max(day) AS m FROM ev)
+    SELECT day, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM ev, mx WHERE day >= m - 2
+    GROUP BY day ORDER BY day DESC
+"""
+
+
+def q_front_page_ranking(spark, sf_dir):
+    """W4: preferred-source-first, then source-diversity ranking
+    (indexAction.php:57-68) over a clusters-shaped derivation."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.select(
+        F.col("doc_id").alias("cluster_id"),
+        (F.lit(20240101) + F.col("doc_id") % 14).alias("day_time"),
+        F.concat_ws(
+            ",",
+            F.col("source"),
+            F.concat(F.lit("src"), ((F.col("doc_id") + 1) % 20).cast("string")),
+        ).alias("source_names"),
+    )
+    arr = F.split(F.col("source_names"), ",")
+    ranked = (
+        clusters.withColumn(
+            "has_preferred", F.array_contains(arr, "src0").cast("int")
+        )
+        .withColumn("n_distinct_sources", F.size(F.array_distinct(arr)))
+    )
+    w = Window.orderBy(
+        F.desc("day_time"),
+        F.desc("has_preferred"),
+        F.desc("n_distinct_sources"),
+        F.asc("cluster_id"),
+    )
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(
+        "cluster_id", "day_time", "source_names", "has_preferred",
+        "n_distinct_sources", "rank",
+    )
+
+
+SQL_FRONT_PAGE_RANKING = """
+    WITH clusters AS (
+      SELECT doc_id AS cluster_id,
+             20240101 + doc_id % 14 AS day_time,
+             source || ',' || 'src' || cast((doc_id + 1) % 20 as string)
+               AS source_names
+      FROM documents
+    ), feat AS (
+      SELECT *,
+        CASE WHEN list_contains(string_split(source_names, ','), 'src0')
+             THEN 1 ELSE 0 END AS has_preferred,
+        len(list_distinct(string_split(source_names, ','))) AS n_distinct_sources
+      FROM clusters
+    )
+    SELECT cluster_id, day_time, source_names, cast(has_preferred as int)
+             AS has_preferred,
+           cast(n_distinct_sources as int) AS n_distinct_sources,
+           cast(row_number() OVER (ORDER BY day_time DESC, has_preferred DESC,
+                n_distinct_sources DESC, cluster_id) as int) AS rank
+    FROM feat
+"""
+
+
+def q_entry_lookup(spark, sf_dir):
+    """J4: csv id-list FK join (entryAction.php:79-87)."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.concat_ws(
+            ",",
+            (F.col("doc_id") + 1).cast("string"),
+            (F.col("doc_id") + 2).cast("string"),
+            (F.col("doc_id") + 3).cast("string"),
+        ).alias("abstract_ids"),
+    )
+    member = clusters.select(
+        "cluster_id",
+        F.explode(F.split("abstract_ids", ",")).alias("doc_id_str"),
+    ).select("cluster_id", F.col("doc_id_str").cast("long").alias("doc_id"))
+    return member.join(docs.select("doc_id", "source"), "doc_id").select(
+        "cluster_id", F.col("doc_id").alias("abstract_id"), "source"
+    )
+
+
+SQL_ENTRY_LOOKUP = """
+    WITH clusters AS (
+      SELECT doc_id AS cluster_id,
+             cast(doc_id + 1 as string) || ',' || cast(doc_id + 2 as string)
+               || ',' || cast(doc_id + 3 as string) AS abstract_ids
+      FROM documents WHERE doc_id % 10 = 0
+    ), member AS (
+      SELECT cluster_id, cast(unnest(string_split(abstract_ids, ',')) as bigint)
+               AS doc_id
+      FROM clusters
+    )
+    SELECT m.cluster_id, m.doc_id AS abstract_id, d.source
+    FROM member m JOIN documents d USING (doc_id)
+"""
+
+
+def q_comments_sort(spark, sf_dir):
+    """W5+O3: preferred-type-first then time ordering with pagination
+    (commentsAction.php:182-189, 10-11)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(
+        F.desc((F.col("event_type") == "error").cast("int")),
+        F.asc("ts"),
+        F.asc("event_id"),
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select("event_id", "event_type", "rn")
+    )
+
+
+SQL_COMMENTS_SORT = """
+    WITH r AS (
+      SELECT event_id, event_type,
+             cast(row_number() OVER (
+               ORDER BY CASE WHEN event_type = 'error' THEN 1 ELSE 0 END DESC,
+                        ts, event_id) as int) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type, rn FROM r WHERE rn > 20 AND rn <= 40
+"""
+
+
+def q_group_by_day(spark, sf_dir):
+    """A7/A8: per-day grouping with distinct users."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    return ev.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_GROUP_BY_DAY = """
+    SELECT cast(strftime(ts, '%Y%m%d') as int) AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1
+"""
+
+
+# ===========================================================================
+# Aggregation / join / window family (TPC-H-ish; SURVEY §2.3/2.4/2.5)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 10")
+    )
+
+
+SQL_TOP_REVENUE_CUSTOMERS = """
+    WITH rev AS (
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+    ), r AS (
+      SELECT *, cast(row_number() OVER (ORDER BY revenue DESC, c_custkey)
+                     as int) AS rank
+      FROM rev
+    )
+    SELECT c_custkey, c_name, revenue, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_order_priority(spark, sf_dir):
+    """Semi-join (EXISTS) + group count."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate").isNotNull())
+    semi = o.join(
+        late,
+        (o.o_orderkey == late.l_orderkey) & (late.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_ORDER_PRIORITY = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """W: running sum per user over event time."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 4) AS running_value
+    FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap via lag + cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; route through timestamp (session TZ
+    # pinned to UTC) to get the same epoch seconds DuckDB's epoch() gives
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn("prev_ts", F.lag(epoch).over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull() | ((epoch - F.col("prev_ts")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_idx", F.sum("new_session").over(w)
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+SQL_SESSIONIZE = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_idx
+      FROM g
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(event_id) AS first_event
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        F.col("click").alias("n_click"),
+        F.col("view").alias("n_view"),
+        F.col("purchase").alias("n_purchase"),
+        F.col("error").alias("n_error"),
+        F.col("signup").alias("n_signup"),
+    )
+
+
+SQL_EVENT_TYPE_PIVOT = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'signup') AS n_signup
+    FROM events GROUP BY user_id
+"""
+
+
+def q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+SQL_DISTINCT_USERS = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Text-analysis family (training-data ops over `documents`)
+# ===========================================================================
+
+_LANG_LISTS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "nicht"),
+}
+
+
+def _lang_score(lang: str):
+    words = ", ".join(f"'{w}'" for w in _LANG_LISTS[lang])
+    return F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({words})))"
+    ).cast("int")
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language id via stopword-marker hit counts."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        _lang_score("en").alias("s_en"),
+        _lang_score("es").alias("s_es"),
+        _lang_score("fr").alias("s_fr"),
+        _lang_score("de").alias("s_de"),
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")),
+            "es",
+        )
+        .when(F.col("s_fr") >= F.col("s_de"), "fr")
+        .otherwise("de"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_LISTS[lang])
+    return (
+        f"cast(len(list_filter(string_split(text, ' '), "
+        f"x -> x IN ({words}))) as int)"
+    )
+
+
+SQL_LANG_ID = f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_sql_lang_score('en')} AS s_en,
+             {_sql_lang_score('es')} AS s_es,
+             {_sql_lang_score('fr')} AS s_fr,
+             {_sql_lang_score('de')} AS s_de
+      FROM documents
+    )
+    SELECT doc_id, s_en, s_es, s_fr, s_de,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM s
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: token count, stopword ratio, avg token length."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("int")
+    stop_hits = _lang_score("en")
+    avg_len = (F.length("text") - (n_tok - 1)) / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        # +1e-9 shifts exact .00005 grid points off the rounding
+        # boundary identically in both engines (Spark rounds the
+        # decimal string HALF_UP; DuckDB rounds the binary double)
+        F.round(
+            0.5 * (stop_hits / n_tok)
+            + 0.1 * F.least(avg_len / 10, F.lit(1.0))
+            + 1e-9,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) as int) AS n_tokens,
+             {_sql_lang_score('en')} AS stop_hits,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(stop_hits / n_tokens, 4) AS stopword_ratio,
+           round((n_chars - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
+           round(0.5 * (stop_hits / n_tokens)
+                 + 0.1 * least((n_chars - (n_tokens - 1)) / n_tokens / 10,
+                               1.0) + 1e-9, 4) AS quality_score
+    FROM s
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish token counting over JSON-y strings (events.props)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_count(
+            "props", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).cast("int").alias("n_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+    SELECT event_id,
+           cast(len(regexp_extract_all(props,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as int) AS n_tokens
+    FROM events
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the sorted distinct token set."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+"""
+
+
+def q_dedup_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique_texts"),
+    )
+
+
+SQL_DEDUP_STATS = """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT sha256(text)) AS n_unique_texts
+    FROM documents GROUP BY source
+"""
+
+
+def q_dedup_first(spark, sf_dir):
+    """Exact dedup keep-first (the S5 skip-if-exists policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text").select("doc_id", "source")
+
+
+SQL_DEDUP_FIRST = """
+    WITH h AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM h WHERE rn = 1
+"""
+
+
+def q_ngram_overlap(spark, sf_dir):
+    """Token-set Jaccard between consecutive docs (near-dup metric)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.array_distinct(F.split("text", " ")).alias("ta"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("a_id"),
+        F.col("doc_id").alias("b_id"),
+        F.array_distinct(F.split("text", " ")).alias("tb"),
+    )
+    return (
+        a.join(b, "a_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")),
+                4,
+            ).alias("jaccard_sim"),
+        )
+    )
+
+
+SQL_NGRAM_OVERLAP = """
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.toks, b.toks))
+                 / len(list_distinct(list_concat(a.toks, b.toks))),
+                 4) AS jaccard_sim
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_summarize(spark, sf_dir):
+    """W2: v2 extractive abstract. Driver corpus has no sentence
+    delimiters, so spec says: single sentence -> whole text + '|'
+    (req_num floor 0 -> all; abstraction_service.cpp:203-206)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_abstract_column(docs, text_col="text").select(
+        "doc_id", "abstract"
+    )
+
+
+SQL_SUMMARIZE = """
+    SELECT doc_id, text || '|' AS abstract FROM documents
+"""
+
+
+# ===========================================================================
+# Embedding family
+# ===========================================================================
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
+SQL_ANN_TOPK = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS sim
+      FROM e, q WHERE e.vec_id != q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, sim,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) as int) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim
+    FROM r WHERE rank <= 5
+"""
+
+
+def q_label_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("mean_val"))
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+    SELECT label, cast(i as int) AS dim,
+           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS mean_val
+    FROM embeddings, range(0, 64) t(i)
+    GROUP BY label, i
+"""
+
+
+# ===========================================================================
+# Engine-only (rows-only checks; exact semantics pinned in pytest)
+# ===========================================================================
+
+def _dup_corpus(spark):
+    pages = reference_grammar_pages(n_pages=200, seed=11, dup_rate=0.3)
+    rows = [
+        (i, p["text"], p["host"], p["warc_ts"]) for i, p in enumerate(pages)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, warc_ts long"
+    )
+
+
+def q_news_clusters_lsh(spark, sf_dir):
+    """J1-J3: MinHash-LSH + CC + greedy star clusters (news_category)."""
+    return cluster_documents(spark, _dup_corpus(spark)).select(
+        "cluster_id", "abstract_ids", "source_names"
+    )
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    return dd.minhash_near_dups(_dup_corpus(spark), threshold=0.7).select(
+        "a", "b", F.round("jaccard_sim", 4).alias("jaccard_sim")
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return dd.simhash_near_dups(_dup_corpus(spark), radius=8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return dd.embedding_near_dups(emb, threshold=0.5).select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    rows = [
+        (i, i % 7, 20240101 + i % 5, "image",
+         encode_fake_image(8 + i % 5, 6 + i % 3, i))
+        for i in range(64)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, abstract_id long, day_time int, kind string, "
+        "payload binary",
+    )
+    return with_image_features(media).select(
+        "media_id", "width", "height", F.round("mean_pixel", 4).alias("mean_pixel")
+    )
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+QUERIES = {
+    # crawl / extraction
+    "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
+    "extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
+    "extract_markers": (q_extract_markers, SQL_EXTRACT_MARKERS),
+    "url_parse": (q_url_parse, SQL_URL_PARSE),
+    "crawl_frontier": (q_crawl_frontier, SQL_CRAWL_FRONTIER),
+    "crawl_seen_set": (q_crawl_seen_set, SQL_CRAWL_FETCHED_URLS),
+    # serving
+    "index_daterange": (q_index_daterange, SQL_INDEX_DATERANGE),
+    "front_page_ranking": (q_front_page_ranking, SQL_FRONT_PAGE_RANKING),
+    "entry_lookup": (q_entry_lookup, SQL_ENTRY_LOOKUP),
+    "comments_sort": (q_comments_sort, SQL_COMMENTS_SORT),
+    "group_by_day": (q_group_by_day, SQL_GROUP_BY_DAY),
+    # agg / join / window
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_customers": (q_top_revenue_customers, SQL_TOP_REVENUE_CUSTOMERS),
+    "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    # text analysis
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
+    "dedup_first": (q_dedup_first, SQL_DEDUP_FIRST),
+    "ngram_overlap": (q_ngram_overlap, SQL_NGRAM_OVERLAP),
+    "summarize": (q_summarize, SQL_SUMMARIZE),
+    # embeddings
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    # engine-only (rows-only)
+    "news_clusters_lsh": (q_news_clusters_lsh, None),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "embedding_near_dups": (q_embedding_near_dups, None),
+    "ivf_ann": (q_ivf_ann, None),
+    "multimodal_features": (q_multimodal_features, None),
+}
+
+
+def spark_queries():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sqls():
+    return {
+        name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None
+    }

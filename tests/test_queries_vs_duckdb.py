@@ -1,0 +1,50 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry with an oracle is run on Spark AND DuckDB at sf0.01 and compared
+order-insensitively on sorted columns + values."""
+
+import pandas as pd
+import pytest
+
+from news_combinator_spark.plans.queries import QUERIES
+
+from conftest import SF_MED
+
+WITH_ORACLE = [n for n, (_f, sql) in QUERIES.items() if sql is not None]
+ROWS_ONLY = [n for n, (_f, sql) in QUERIES.items() if sql is None]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = QUERIES[name]
+    got = _normalize(fn(spark, SF_MED).toPandas())
+    exp = _normalize(duck.execute(sql).fetchdf())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: column mismatch {got.columns} vs {exp.columns}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_MED)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries().keys()) >= set(e.oracle_sql().keys())
