@@ -4,7 +4,9 @@ Re-expresses SURVEY.md W2/W3:
 
 - v2 (abstraction_service.cpp:162-213): split text into sentences on
   the 8 delimiters | . 。 ! ！ ? ？ \\n applied sequentially, delimiter
-  dropped, empty segments kept (split_contents :216-244); top-10 tags
+  dropped (split_contents :216-244 — an empty segment produced by one
+  delimiter is silently dropped by the next delimiter's pass, so only
+  empties from the last delimiter '\\n' survive; replicated); top-10 tags
   over the whole text; per-sentence weight = sum of each DISTINCT
   matched tag's weight; take the top floor(0.15*n) sentences by weight
   (all when that floor is 0), restore document order, join with '|'

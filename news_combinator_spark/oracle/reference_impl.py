@@ -137,10 +137,11 @@ def all_qualifying_pairs(
 
 
 def trim_spaces_v1(text: str) -> str:
-    """v1's TrimSpaces with its faithful off-by-one: when the string
-    has no trailing whitespace the final character is still dropped
-    (chnsegmt/basicfuncs.py:68-84, text[0:tail_index]). Used ONLY for
-    v1-parity tests — never in the engine default path."""
+    """v1's TrimSpaces with its faithful off-by-one: tail_index stops
+    ON the last non-whitespace character and the slice excludes it, so
+    the final character is always dropped (chnsegmt/basicfuncs.py:68-84,
+    text[0:tail_index]). Used ONLY for v1-parity tests — never in the
+    engine default path."""
     ws = {" ", "\t", "\n", "\r"}
     front = 0
     while front < len(text) and text[front] in ws:

@@ -87,6 +87,9 @@ def streaming_event_counts(
     events = (
         spark.readStream.format("parquet").schema(schema).load(input_dir)
     )
+    # event-time watermarks require TIMESTAMP (not NTZ); session TZ is
+    # pinned to UTC so the cast is value-preserving
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")

@@ -1,0 +1,113 @@
+"""Dedup + ANN operators: correctness vs brute-force ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_combinator_spark.datagen import reference_grammar_pages
+from news_combinator_spark.functions.textfns import jaccard, tokenize
+from news_combinator_spark.operators import dedup as dd
+from news_combinator_spark.operators import similarity as sim
+
+from conftest import SF_MED
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    pages = reference_grammar_pages(n_pages=120, seed=3, dup_rate=0.4)
+    rows = [(i, p["text"], p["host"]) for i, p in enumerate(pages)]
+    texts = [p["text"] for p in pages]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    return df, texts
+
+
+def test_exact_dedup_keeps_first(spark):
+    rows = [(1, "same"), (2, "same"), (3, "other"), (4, "same")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dd.exact_dedup(df).collect())
+    assert kept == [1, 3]
+    groups = dd.exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert list(groups[0]["doc_ids"]) == [1, 2, 4]
+
+
+def test_minhash_near_dups_vs_bruteforce(spark, corpus_df):
+    df, texts = corpus_df
+    got = {
+        (r["a"], r["b"]) for r in dd.minhash_near_dups(df, threshold=0.8).collect()
+    }
+    exp = set()
+    toks = [set(tokenize(t)) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if jaccard(toks[i], toks[j]) >= 0.8:
+                exp.add((i, j))
+    # LSH must find every true pair at this threshold (recall), and
+    # verification guarantees precision.
+    assert got == exp
+
+
+def test_simhash_near_dups_finds_variants(spark, corpus_df):
+    df, texts = corpus_df
+    pairs = dd.simhash_near_dups(df, radius=10).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["hamming"] <= 10
+        # near in simhash => actually similar token sets
+        ja = jaccard(set(tokenize(texts[r["a"]])), set(tokenize(texts[r["b"]])))
+        assert ja > 0.3, (r["a"], r["b"], ja)
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r["a"], r["b"]): r["ngram_jaccard"]
+           for r in dd.ngram_jaccard_pairs(df, pairs, n=5).collect()}
+    assert out[(1, 2)] > 0.3
+    assert out[(1, 3)] == 0.0
+
+
+def test_embedding_near_dups_threshold(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = dd.embedding_near_dups(emb, threshold=0.95).collect()
+    assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    approx = sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_bruteforce_topk_self_excluded_and_ranked(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.brute_force_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]

@@ -1,0 +1,127 @@
+"""Serving builders, multimodal plumbing, watermark incremental scan,
+structured streaming smoke."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from news_combinator_spark.operators import serving
+from news_combinator_spark.operators.multimodal import (
+    decode_image_meta,
+    encode_fake_image,
+    gc_old_media,
+    with_image_features,
+)
+from news_combinator_spark.streaming.incremental import (
+    WatermarkStore,
+    advance,
+    incremental_scan,
+)
+
+from conftest import SF_MED
+
+
+def test_clamp_range_days():
+    assert serving.clamp_range_days(None) == 3
+    assert serving.clamp_range_days(0) == 1
+    assert serving.clamp_range_days(999) == 50
+    assert serving.clamp_range_days(7) == 7
+
+
+def test_rank_front_page_ordering(spark):
+    rows = [
+        (1, 20240102, "sina,netease"),
+        (2, 20240102, "reetsee,sina,netease"),
+        (3, 20240102, "sina"),
+        (4, 20240103, "sina"),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id long, day_time int, source_names string"
+    )
+    out = [r["cluster_id"] for r in serving.rank_front_page(df).collect()]
+    # newest day first; within a day: reetsee first, then diversity
+    assert out == [4, 2, 1, 3]
+
+
+def test_entry_lookup_join(spark):
+    clusters = spark.createDataFrame(
+        [(100, "1,2,3")], "cluster_id long, abstract_ids string"
+    )
+    contents = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3"), (4, "t4")],
+        "abstract_id long, title string",
+    )
+    out = serving.entry_lookup(clusters, contents).collect()
+    assert sorted(r["abstract_id"] for r in out) == [1, 2, 3]
+
+
+def test_paginate(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "x long")
+    page2 = serving.paginate(df, [F.asc("x")], pn=2, rn=10).collect()
+    assert sorted(r["x"] for r in page2) == list(range(10, 20))
+
+
+def test_multimodal_roundtrip_and_stub_gate(spark):
+    payload = encode_fake_image(8, 6, 42)
+    assert decode_image_meta(payload) == (8, 6, 42)
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(b"\xff\xd8\xff\xe0 not our format")
+    media = spark.createDataFrame(
+        [(1, 10, 20240105, "image", payload)],
+        "media_id long, abstract_id long, day_time int, kind string, "
+        "payload binary",
+    )
+    out = with_image_features(media).collect()[0]
+    assert (out["width"], out["height"]) == (8, 6)
+    assert 0 <= out["mean_pixel"] <= 255
+
+
+def test_gc_old_media(spark):
+    media = spark.createDataFrame(
+        [(1, 20240101), (2, 20240106), (3, 20240110)],
+        "media_id long, day_time int",
+    )
+    kept = sorted(
+        r["media_id"] for r in gc_old_media(media, today_day=20240110).collect()
+    )
+    assert kept == [2, 3]  # day <= today-5 dropped (clearpic.php:38-77)
+
+
+def test_watermark_incremental_scan(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm"))
+    df = spark.createDataFrame(
+        [(i, i * 100) for i in range(1, 6)], "id long, ts long"
+    )
+    batch1 = incremental_scan(df, store, "ts")
+    assert batch1.count() == 5
+    advance(store, batch1, "ts")
+    assert store.read() == 500
+    # nothing new
+    assert incremental_scan(df, store, "ts").count() == 0
+    # late row with old ts is silently skipped forever (reference
+    # semantics: categorize.py:31-37)
+    df2 = df.union(spark.createDataFrame([(99, 50)], "id long, ts long"))
+    assert incremental_scan(df2, store, "ts").count() == 0
+
+
+def test_structured_streaming_windowed_counts(spark):
+    from news_combinator_spark.streaming.incremental import (
+        streaming_event_counts,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    q = streaming_event_counts(
+        spark, SF_MED, schema, window="1 hour", watermark="2 hours",
+        query_name="t_counts",
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM t_counts")
+        assert out.count() > 0
+        row = out.limit(1).collect()[0]
+        assert row["n"] >= 1
+    finally:
+        q.stop()
