@@ -55,20 +55,26 @@ SEED_DOC_IDS = (0, 1, 2, 3)
 CRAWL_ROUNDS = 3
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, n_hosts: int = N_HOSTS
+) -> DataFrame:
     """Build the `pages` table from documents.parquet (SQL-expressible).
 
     Columns: doc_id, url, host, priority, day_time, warc_ts,
     html (binary), text, lang  — exactly input_hint's shape plus the
-    derived scheduling keys.
+    derived scheduling keys. `n_hosts` > 4 is the bench configuration
+    (more hosts -> higher aggregate politeness throughput); the
+    correctness fixture always uses the default.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
     docs.createOrReplaceTempView("__docs_for_pages")
-    return spark.sql(pages_select_sql(n, dialect="spark"))
+    return spark.sql(pages_select_sql(n, dialect="spark", n_hosts=n_hosts))
 
 
-def pages_select_sql(n: int | str, dialect: str) -> str:
+def pages_select_sql(
+    n: int | str, dialect: str, n_hosts: int = N_HOSTS
+) -> str:
     """One SELECT producing the pages table from `documents`.
 
     dialect 'spark' reads the temp view __docs_for_pages; 'duckdb'
@@ -92,7 +98,7 @@ def pages_select_sql(n: int | str, dialect: str) -> str:
       WITH b AS (
         SELECT doc_id, text, lang,
                {BASE_DAY} + doc_id % {N_DAYS} AS day_time,
-               concat('h', cast(doc_id % {N_HOSTS} as string), '.test') AS host,
+               concat('h', cast(doc_id % {n_hosts} as string), '.test') AS host,
                cast(doc_id % 3 as int) AS priority,
                lpad(cast(doc_id as string), 9, '0') AS id9,
                (doc_id * 2 + 1) % {n} AS nx1,
@@ -101,10 +107,10 @@ def pages_select_sql(n: int | str, dialect: str) -> str:
       ), u AS (
         SELECT *,
           concat('http://', host, '/a/', cast(day_time as string), '/', id9, '.htm') AS url,
-          concat('http://h', cast(nx1 % {N_HOSTS} as string), '.test/a/',
+          concat('http://h', cast(nx1 % {n_hosts} as string), '.test/a/',
                  cast({BASE_DAY} + nx1 % {N_DAYS} as string), '/',
                  lpad(cast(nx1 as string), 9, '0'), '.htm') AS next1_url,
-          concat('http://h', cast(nx2 % {N_HOSTS} as string), '.test/a/',
+          concat('http://h', cast(nx2 % {n_hosts} as string), '.test/a/',
                  cast({BASE_DAY} + nx2 % {N_DAYS} as string), '/',
                  lpad(cast(nx2 as string), 9, '0'), '.htm') AS next2_url
         FROM b
