@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the frontier crawl job.
+
+Cluster usage (north_rule submission shape):
+
+    zip -r nc_spark.zip news_combinator_spark
+    spark-submit --py-files nc_spark.zip scripts/run_crawl_job.py \
+        --sf-dir /data/testdata/sf0.1 --rounds 4 --hosts 64 \
+        --budget 200 --seeds 512 --out /tmp/crawl_out
+
+Local two-parallelism scaling evidence (sandbox substitute for
+N vs 4N executors):
+
+    SPARK_GRAFT_CPUS=8  python scripts/run_crawl_job.py ...
+    SPARK_GRAFT_CPUS=32 python scripts/run_crawl_job.py ...
+
+Writes the fetched table + per-round lineage metrics to --out and
+prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from news_combinator_spark.datagen import pages_from_documents  # noqa: E402
+from news_combinator_spark.operators.frontier import crawl  # noqa: E402
+from news_combinator_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--hosts", type=int, default=64)
+    ap.add_argument("--budget", type=int, default=200)
+    ap.add_argument("--seeds", type=int, default=512)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    args = ap.parse_args()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="nc-crawl-job", cores=cpus)
+
+    pages = pages_from_documents(spark, args.sf_dir, n_hosts=args.hosts)
+    seeds = pages.filter(F.col("doc_id") < args.seeds).select(
+        "url", "host", "priority"
+    )
+    budgets = spark.createDataFrame(
+        [(f"h{i}.test", args.budget) for i in range(args.hosts)],
+        "host string, budget int",
+    )
+    t0 = time.time()
+    res = crawl(
+        spark,
+        pages,
+        seeds,
+        budgets,
+        rounds=args.rounds,
+        allowed_host_suffix=".test",
+        use_bloom=True,
+        bloom_expected=5_000_000,
+        salt_buckets=args.salt_buckets,
+        collect_lineage=True,
+        checkpoint_dir=os.path.join(args.out, "ckpt") if args.out else None,
+    )
+    n = res.fetched.count()
+    wall = time.time() - t0
+    if args.out:
+        res.fetched.write.mode("overwrite").parquet(
+            os.path.join(args.out, "fetched")
+        )
+        res.lineage_df(spark).write.mode("overwrite").parquet(
+            os.path.join(args.out, "lineage")
+        )
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "rounds": args.rounds,
+                "urls_fetched": n,
+                "wall_sec": round(wall, 3),
+                "urls_per_sec": round(n / wall, 2),
+                "lineage": [vars(m) for m in res.lineage],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
