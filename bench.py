@@ -39,11 +39,12 @@ from news_combinator_spark.operators.frontier import crawl  # noqa: E402
 from news_combinator_spark.plans import queries as Q  # noqa: E402
 from news_combinator_spark.session import get_spark  # noqa: E402
 
-BENCH_HOSTS = 64
-BENCH_BUDGET = 200
-BENCH_ROUNDS = 4
-BENCH_SEEDS = 512  # wide seed set so later rounds carry real volume
-CLUSTER_CORPUS = 3000
+BENCH_HOSTS = 256
+BENCH_BUDGET = 400
+BENCH_ROUNDS = 3
+BENCH_SEEDS = 4096  # wide seed set so every round carries real volume
+BENCH_AMPLIFY = 40  # replicate docs so the frontier is ~200k pages at sf0.1
+CLUSTER_CORPUS = 10000
 
 SQL_BENCH_QUERIES = [
     "extract_text",
@@ -73,7 +74,9 @@ def _materialize(df):
 
 
 def bench_crawl(spark, sf_dir: str) -> tuple[float, int]:
-    pages = pages_from_documents(spark, sf_dir, n_hosts=BENCH_HOSTS)
+    pages = pages_from_documents(
+        spark, sf_dir, n_hosts=BENCH_HOSTS, amplify=BENCH_AMPLIFY
+    )
     seeds = pages.filter(F.col("doc_id") < BENCH_SEEDS).select(
         "url", "host", "priority"
     )

@@ -56,18 +56,33 @@ CRAWL_ROUNDS = 3
 
 
 def pages_from_documents(
-    spark: SparkSession, sf_dir: str, n_hosts: int = N_HOSTS
+    spark: SparkSession,
+    sf_dir: str,
+    n_hosts: int = N_HOSTS,
+    amplify: int = 1,
 ) -> DataFrame:
     """Build the `pages` table from documents.parquet (SQL-expressible).
 
     Columns: doc_id, url, host, priority, day_time, warc_ts,
     html (binary), text, lang  — exactly input_hint's shape plus the
-    derived scheduling keys. `n_hosts` > 4 is the bench configuration
-    (more hosts -> higher aggregate politeness throughput); the
-    correctness fixture always uses the default.
+    derived scheduling keys. `n_hosts` > 4 and `amplify` > 1 are bench
+    configurations (more hosts -> higher aggregate politeness
+    throughput; amplify replicates doc rows with shifted ids so the
+    frontier carries real volume); the correctness fixture always uses
+    the defaults.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
     n = docs.count()
+    if amplify > 1:
+        reps = spark.range(amplify).withColumnRenamed("id", "rep")
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        n *= amplify
     docs.createOrReplaceTempView("__docs_for_pages")
     return spark.sql(pages_select_sql(n, dialect="spark", n_hosts=n_hosts))
 

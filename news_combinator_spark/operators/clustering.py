@@ -208,25 +208,21 @@ def connected_components(
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
+                (F.coalesce("nbr_min", "component") < F.col("component"))
+                .alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # constant-depth lineage; one job
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.component != o.component")
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("doc_id", "component")
+        # cheap on the checkpointed frame — no recompute, no extra join
+        if stepped.filter("changed").limit(1).count() == 0:
             break
     return labels
 
@@ -274,6 +270,50 @@ def greedy_relabel(
     )
 
 
+def greedy_relabel_v1(
+    edges: DataFrame,
+    components: DataFrame,
+) -> DataFrame:
+    """v1 mode (chnsegmt top-1 matching, oracle
+    reference_impl.greedy_clusters_v1): each seed takes only its best
+    strictly-above-threshold match, which is consumed for good."""
+    e = edges.join(
+        components.withColumnRenamed("doc_id", "a"), "a"
+    ).select("component", "a", "b", "sim")
+
+    def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        nbrs: dict[int, list[tuple[float, int]]] = {}
+        nodes = set()
+        for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim"]):
+            nbrs.setdefault(int(a), []).append((float(s), int(b)))
+            nodes.add(int(a))
+            nodes.add(int(b))
+        consumed: set[int] = set()
+        rows = []
+        for i in sorted(nodes):
+            if i in consumed:
+                continue
+            consumed.add(i)
+            cands = [
+                (s, j) for s, j in nbrs.get(i, [])
+                if j > i and j not in consumed
+            ]
+            if not cands:
+                continue
+            cands.sort(key=lambda p: (-p[0], p[1]))
+            j = cands[0][1]
+            consumed.add(j)
+            rows.append((i, i, 0))
+            rows.append((i, j, 1))
+        return pd.DataFrame(
+            rows, columns=["cluster_id", "doc_id", "member_rank"]
+        )
+
+    return e.groupBy("component").applyInPandas(
+        _greedy, schema="cluster_id long, doc_id long, member_rank int"
+    )
+
+
 def cluster_documents(
     spark: SparkSession,
     docs: DataFrame,
@@ -282,16 +322,30 @@ def cluster_documents(
     max_similar: int = MAX_SIMILAR,
     num_perm: int = 64,
     bands: int = 16,
+    mode: str = "v2",
 ) -> DataFrame:
     """End-to-end: docs(doc_id, text, [source, title, day_time]) ->
-    news_category-shaped clusters."""
+    news_category-shaped clusters. mode='v2' (default): categorize.cpp
+    greedy stars at >= 0.85; mode='v1': chnsegmt top-1 pairs at > 0.75
+    with 10 tags (SURVEY.md J1/J2)."""
+    if mode == "v1":
+        sim_bound, tag_num = 0.75, 10
     toks = tokenize_docs(docs).persist()
     tags = doc_tags(toks, tag_num)
     sigs = minhash_df(toks, num_perm)
     pairs = candidate_pairs(sigs, bands)
-    edges = verify_pairs(pairs, toks, tags, sim_bound).persist()
+    if mode == "v1":
+        # strict > threshold (findsimilarpassage.py:18-19)
+        edges = verify_pairs(pairs, toks, tags, sim_bound=-1.0).filter(
+            F.col("sim") > sim_bound
+        ).persist()
+    else:
+        edges = verify_pairs(pairs, toks, tags, sim_bound).persist()
     comps = connected_components(edges)
-    membership = greedy_relabel(edges, comps, max_similar)
+    if mode == "v1":
+        membership = greedy_relabel_v1(edges, comps)
+    else:
+        membership = greedy_relabel(edges, comps, max_similar)
 
     meta_cols = [c for c in ("source", "title", "day_time") if c in docs.columns]
     enriched = membership.join(docs.select("doc_id", *meta_cols), "doc_id")

@@ -90,6 +90,19 @@ def test_clusters_match_reference_greedy_exactly(spark, docs_df, corpus):
         )
 
 
+def test_v1_mode_matches_v1_oracle(spark, docs_df, corpus):
+    from news_combinator_spark.oracle.reference_impl import (
+        greedy_clusters_v1,
+    )
+
+    texts, _ = corpus
+    exp = {c.seed: c.members for c in greedy_clusters_v1(texts)}
+    out = cluster_documents(spark, docs_df, mode="v1").collect()
+    got = {r["cluster_id"]: list(r["member_ids"]) for r in out}
+    assert got == exp
+    assert all(len(m) == 2 for m in got.values())  # v1 emits pairs only
+
+
 def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
