@@ -113,9 +113,13 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH banding -> (a, b) candidate pairs, a < b, distinct.
 
-    Buckets larger than max_bucket are truncated pairwise (each doc
-    still pairs with its max_bucket nearest-by-id bucket mates) —
-    a hot-bucket guard; truncation count is observable via metrics.
+    Pair generation is a JVM-side self-equi-join on (band_id,
+    band_hash) — whole-stage codegen, one shuffle; per-bucket Python
+    would pay per-group overhead across millions of tiny buckets.
+    Buckets larger than max_bucket (hash collisions / boilerplate
+    shingles) are dropped before the join: a bucket of size s emits
+    s^2/2 pairs, so one 10^6 bucket would emit 5*10^11 — the guard
+    bounds the blow-up; near-dup docs still meet in their other bands.
     """
     def _bands(batches):
         for pdf in batches:
@@ -130,20 +134,21 @@ def candidate_pairs(
     banded = sig_df.mapInPandas(
         _bands, schema="doc_id long, band_id int, band_hash long"
     )
-
-    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(pdf["doc_id"].unique())[: max_bucket]
-        out = [
-            (ids[i], ids[j])
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(out, columns=["a", "b"])
-
-    pairs = banded.groupBy("band_id", "band_hash").applyInPandas(
-        _pairs, schema="a long, b long"
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
     )
-    return pairs.dropDuplicates(["a", "b"])
+    bounded = banded.join(
+        sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_id", "band_hash"],
+    )
+    left = bounded.select("band_id", "band_hash", F.col("doc_id").alias("a"))
+    right = bounded.select("band_id", "band_hash", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def verify_pairs(
