@@ -142,6 +142,7 @@ def crawl(
     rounds: int = 3,
     use_bloom: bool = False,
     bloom_expected: int = 1_000_000,
+    bloom_fp: float = 1e-3,
     salt_buckets: int = 0,
     allowed_host_suffix: str | None = None,
     checkpoint_dir: str | None = None,
@@ -153,6 +154,17 @@ def crawl(
     `pages` is the web: (url, host, priority, html, ...). Fetch = join
     on url (the sandbox stand-in for the per-host pandas-UDF HTTP
     fetcher); link targets must exist in `pages` (dangling = DNS fail).
+
+    Scale notes:
+    - candidate (host, priority) are looked up from the web once per
+      round via a join in which the SMALL deduped candidate batch is
+      broadcast, so the big web side is never re-shuffled or re-sorted.
+      On a real cluster this lookup does not exist at all — priority is
+      a policy over the url and existence surfaces at fetch time.
+    - the bloom is a PREFILTER: its false positives fall through to the
+      exact anti-join, so fp=1e-3 is plenty and keeps the per-round
+      partition-bitset merge tens of KB instead of tens of MB. No
+      false negatives are possible, so no URL is ever re-fetched.
     """
     # The "web" is probed by url every round: pre-partition once on the
     # join key so each round's fetch/priority lookups co-locate without
@@ -162,13 +174,16 @@ def crawl(
     )
     web = web.persist()
     web.count()
+    web_meta = pages.select("url", "host", "priority").repartition(
+        spark.sparkContext.defaultParallelism, "url"
+    ).persist()
 
     frontier = seeds.select(*FRONTIER_COLS).localCheckpoint()
     seen = frontier.select("url").localCheckpoint()
     bloom: Bloom | None = None
     maybe_udf = None
     if use_bloom:
-        m, k = optimal_params(bloom_expected, 1e-6)
+        m, k = optimal_params(bloom_expected, bloom_fp)
         bloom = build_bloom(seen, "url", m, k)
         maybe_udf = maybe_seen_udf(spark, bloom)
 
@@ -181,11 +196,18 @@ def crawl(
         taken = sched.filter("taken").drop("taken")
         deferred = sched.filter("NOT taken").drop("taken")
 
-        fetched = taken.join(web.withColumnRenamed("host", "w_host")
-                             .withColumnRenamed("priority", "w_priority"),
-                             "url", "inner")
+        # shuffle-hash join: the scheduled batch (bounded by sum of
+        # budgets) shuffles and becomes the hash side; the persisted
+        # web is already hash-partitioned on url, so it streams in
+        # place — no sort, no re-shuffle, no driver-side broadcast
+        # build (which would serialize on the driver each round)
+        fetched = taken.withColumnRenamed("host", "t_host").withColumnRenamed(
+            "priority", "t_priority"
+        ).hint("shuffle_hash").join(web, "url", "inner")
         fetched = fetched.select(
-            F.lit(r).alias("round"), "url", "host", "priority", "html"
+            F.lit(r).alias("round"), "url",
+            F.col("t_host").alias("host"),
+            F.col("t_priority").alias("priority"), "html",
         ).persist()
         fetched_rounds.append(fetched.drop("html"))
 
@@ -207,10 +229,11 @@ def crawl(
                         allowed_host_suffix
                     )
                 )
-            # resolve target host/priority (and existence) from the web
-            cand = (
-                cand.dropDuplicates(["url"])
-                .join(web.select("url", "host", "priority"), "url", "inner")
+            # resolve target host/priority (and existence) from the
+            # web; deduped candidates shuffle-hash against the
+            # pre-partitioned web_meta (no sort / broadcast build)
+            cand = cand.dropDuplicates(["url"]).hint("shuffle_hash").join(
+                web_meta, "url", "inner"
             )
             n_cand = cand.count() if collect_lineage else None
             cand = apply_robots(cand, robots)

@@ -67,7 +67,7 @@ def main() -> None:
         rounds=args.rounds,
         allowed_host_suffix=".test",
         use_bloom=True,
-        bloom_expected=5_000_000,
+        bloom_expected=1_000_000,
         salt_buckets=args.salt_buckets,
         collect_lineage=True,
         checkpoint_dir=os.path.join(args.out, "ckpt") if args.out else None,
