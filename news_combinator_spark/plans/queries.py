@@ -476,7 +476,7 @@ def q_sessionize(spark, sf_dir):
         ).otherwise(0),
     )
     sessions = gapped.withColumn(
-        "session_idx", F.sum("new_session").over(w)
+        "session_idx", F.sum("new_session").over(w).cast("int")
     )
     return sessions.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
@@ -494,8 +494,8 @@ SQL_SESSIONIZE = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS session_idx
+             cast(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) as int) AS session_idx
       FROM g
     )
     SELECT user_id, session_idx, count(*) AS n_events,
