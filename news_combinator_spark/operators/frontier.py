@@ -24,9 +24,11 @@ Scale notes (10^10-URL frontier):
 - seen-set anti-join is prefiltered by a broadcast bloom (bloom.py), so
   the per-round shuffle is proportional to *maybe-seen* candidates, not
   all candidates.
-- frontier/seen are localCheckpoint'ed each round (constant-depth
-  lineage; on a cluster this is an Iceberg snapshot commit, which also
-  gives resumability — here we expose save/load parquet checkpoints).
+- frontier is localCheckpoint'ed each round (constant-depth lineage);
+  seen is a lazy union of per-round checkpointed deltas, so no O(total
+  seen) rewrite happens per round. On a cluster both are Iceberg
+  snapshot commits / appends, which also give resumability — here we
+  expose save/load parquet checkpoints.
 """
 
 from __future__ import annotations
@@ -179,12 +181,22 @@ def crawl(
     ).persist()
 
     frontier = seeds.select(*FRONTIER_COLS).localCheckpoint()
-    seen = frontier.select("url").localCheckpoint()
+    # seen is kept as a list of already-materialized deltas; unioning
+    # lazily for the anti-join avoids rewriting the (growing) full set
+    # every round — O(new) per round instead of O(total seen).
+    seen_parts: list[DataFrame] = [frontier.select("url")]
+
+    def seen_df() -> DataFrame:
+        out = seen_parts[0]
+        for p in seen_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     bloom: Bloom | None = None
     maybe_udf = None
     if use_bloom:
         m, k = optimal_params(bloom_expected, bloom_fp)
-        bloom = build_bloom(seen, "url", m, k)
+        bloom = build_bloom(seen_df(), "url", m, k)
         maybe_udf = maybe_seen_udf(spark, bloom)
 
     fetched_rounds: list[DataFrame] = []
@@ -247,10 +259,10 @@ def crawl(
                 fresh = flagged.filter("NOT maybe").drop("maybe")
                 suspect = flagged.filter("maybe").drop("maybe")
                 new = fresh.unionByName(
-                    suspect.join(seen, "url", "left_anti")
+                    suspect.join(seen_df(), "url", "left_anti")
                 )
             else:
-                new = cand.join(seen, "url", "left_anti")
+                new = cand.join(seen_df(), "url", "left_anti")
             new = new.select(*FRONTIER_COLS).localCheckpoint()
             if collect_lineage:
                 metrics.enqueued = new.count()
@@ -259,14 +271,14 @@ def crawl(
             frontier = deferred.select(*FRONTIER_COLS).unionByName(
                 new
             ).localCheckpoint()
-            seen = seen.unionByName(new.select("url")).localCheckpoint()
+            seen_parts.append(new.select("url"))
             if bloom is not None:
                 m2, k2 = bloom.m, bloom.k
                 delta = build_bloom(new, "url", m2, k2)
                 bloom.or_(delta.bits)
                 maybe_udf = maybe_seen_udf(spark, bloom)
             if checkpoint_dir is not None:
-                save_checkpoint(frontier, seen, checkpoint_dir, r + 1)
+                save_checkpoint(frontier, seen_df(), checkpoint_dir, r + 1)
         sched.unpersist()
         lineage.append(metrics)
 

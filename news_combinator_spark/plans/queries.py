@@ -872,10 +872,27 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return dd.embedding_near_dups(emb, threshold=0.5).select(
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn(
+            "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+        )
+    )
+    return dd.embedding_near_dups(emb, threshold=0.3).select(
         "a", "b", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 200)
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+    FROM e x, e y
+    WHERE x.vec_id < y.vec_id
+      AND list_cosine_similarity(x.v, y.v) >= 0.3
+"""
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -948,7 +965,7 @@ QUERIES = {
     "news_clusters_lsh": (q_news_clusters_lsh, None),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
-    "embedding_near_dups": (q_embedding_near_dups, None),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "ivf_ann": (q_ivf_ann, None),
     "multimodal_features": (q_multimodal_features, None),
 }

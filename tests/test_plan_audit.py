@@ -1,0 +1,163 @@
+"""Physical-plan audits: the properties that make these queries hold up
+at 100 TB, asserted from `explain` output so regressions are caught.
+
+What is pinned and why it matters at scale:
+- predicate pushdown + column pruning reach the parquet scan (a scan
+  that reads every column for a 2-column projection is wrong at any
+  scale, fatal at 100 TB);
+- partition-count-sized dims are broadcast, not shuffled;
+- the hot relational path runs inside WholeStageCodegen (JVM, no
+  Python in the loop);
+- the frontier's fetch join never re-shuffles or re-sorts the big
+  (pre-partitioned, persisted) web side, and never builds a driver-side
+  broadcast of the scheduled batch.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_combinator_spark.plans import queries as Q
+
+from conftest import SF_MED
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _simple(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet scan: pushdown + pruning
+# ---------------------------------------------------------------------------
+
+def test_filter_pushed_to_parquet_scan(spark):
+    """A doc_id predicate must reach the lineitem/documents scan as
+    PushedFilters, not execute post-scan only."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    plan = _formatted(docs.filter(F.col("doc_id") < 50).select("doc_id", "source"))
+    assert re.search(r"PushedFilters: \[.*LessThan\(doc_id,50\).*\]", plan), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Selecting 2 columns from documents must not read text/title."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    plan = _formatted(docs.select("doc_id", "source"))
+    m = re.search(r"ReadSchema: (struct<[^\n]*>)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "doc_id" in schema and "source" in schema
+    assert "text" not in schema and "title" not in schema, schema
+
+
+def test_serving_daterange_pushdown(spark):
+    """index query's day cutoff derives from ts; the ts scan must prune
+    to just the needed columns (ts, value)."""
+    plan = _formatted(Q.q_index_daterange(spark, SF_MED))
+    m = re.search(r"ReadSchema: (struct<[^\n]*>)", plan)
+    assert m and "ts" in m.group(1) and "value" in m.group(1)
+    assert "event_type" not in m.group(1), m.group(1)
+
+
+# ---------------------------------------------------------------------------
+# Joins: broadcast where small, no needless exchanges
+# ---------------------------------------------------------------------------
+
+def test_small_dim_joins_broadcast(spark):
+    """customer (25k rows at sf0.01) must broadcast against lineitem,
+    not trigger a shuffle of the fact table for the dim join."""
+    plan = _simple(Q.q_top_revenue_customers(spark, SF_MED))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_frontier_fetch_join_no_resort_of_web(spark):
+    """The per-round fetch is a shuffle-hash join against the
+    pre-partitioned persisted web: no SortMergeJoin (which would sort
+    the 10^10-row side every round) and no BroadcastExchange of it."""
+    from news_combinator_spark.datagen import (
+        budgets_df,
+        pages_from_documents,
+        seeds_df,
+    )
+    from news_combinator_spark.operators.frontier import schedule_per_host
+
+    pages = pages_from_documents(spark, SF_MED)
+    web = pages.select("url", "host", "priority", "html").repartition(8, "url")
+    web = web.persist()
+    web.count()
+    taken = (
+        schedule_per_host(seeds_df(spark, pages), budgets_df(spark))
+        .filter("taken")
+        .drop("taken")
+        .withColumnRenamed("host", "t_host")
+        .withColumnRenamed("priority", "t_priority")
+    )
+    fetch = taken.hint("shuffle_hash").join(web, "url", "inner")
+    plan = _simple(fetch)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    web.unpersist()
+
+
+def test_robots_gating_is_broadcast(spark):
+    """robots rules are a tiny table: the gating join must broadcast
+    them, never shuffle the candidate set on the rule key."""
+    from news_combinator_spark.datagen import pages_from_documents, robots_df
+    from news_combinator_spark.operators.frontier import apply_robots
+
+    pages = pages_from_documents(spark, SF_MED)
+    cand = pages.select("url", "host", "priority")
+    plan = _simple(apply_robots(cand, robots_df(spark)))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Codegen: relational hot path stays in the JVM
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "qname",
+    ["pricing_summary", "sessionize", "front_page_ranking", "dedup_first"],
+)
+def test_hot_queries_whole_stage_codegen(spark, qname):
+    # AQE hides codegen subtrees behind AdaptiveSparkPlan until runtime;
+    # flip it off just for the audit so the fused spans are visible.
+    fn, _sql = Q.QUERIES[qname]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = fn(spark, SF_MED)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.match(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    assert m and int(m.group(1)) >= 1, plan.split("\n")[0]
+
+
+@pytest.mark.parametrize(
+    "qname", ["pricing_summary", "lang_id", "quality_score", "dedup_first"]
+)
+def test_no_python_udf_in_jvm_expressible_queries(spark, qname):
+    """These are fully expressible with built-ins; a BatchEvalPython /
+    ArrowEvalPython node appearing means someone dropped to the slow
+    path needlessly."""
+    fn, _sql = Q.QUERIES[qname]
+    plan = _simple(fn(spark, SF_MED))
+    assert "EvalPython" not in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy must map-side combine (two HashAggregate levels around
+    the exchange), or the shuffle carries every input row at 100 TB."""
+    plan = _formatted(Q.q_pricing_summary(spark, SF_MED))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_" in plan.lower() or "Partial" in plan, plan
