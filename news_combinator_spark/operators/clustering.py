@@ -62,19 +62,70 @@ def tokenize_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.mapInPandas(_tok, schema=f"{fields}, tokens array<string>")
 
 
+def featurize_docs(
+    docs: DataFrame, text_col: str = "text", num_perm: int = 64
+) -> DataFrame:
+    """ONE Arrow pass per doc: tokens + MinHash signature + per-doc
+    term counts. Fusing the three kernels means the (large) token
+    arrays cross the JVM<->Arrow boundary once instead of three times,
+    and downstream tag ranking shuffles distinct (doc_id, word) rows
+    instead of every token occurrence — the at-scale dominant shuffle
+    shrinks by the average term frequency."""
+    from collections import Counter
+
+    def _feat(batches):
+        for pdf in batches:
+            toks_col, sig_col, wc_col = [], [], []
+            for t in pdf[text_col]:
+                toks = tokenize(t or "")
+                toks_col.append(toks)
+                sig_col.append(minhash_signature(toks, num_perm))
+                wc_col.append(
+                    [
+                        {"word": w, "tf": n}
+                        for w, n in Counter(
+                            x for x in toks if len(x) > 1
+                        ).items()
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": toks_col,
+                    "sig": sig_col,
+                    "wc": wc_col,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _feat,
+        schema=(
+            "doc_id long, tokens array<string>, sig array<long>, "
+            "wc array<struct<word string, tf long>>"
+        ),
+    )
+
+
 def doc_tags(tokens_df: DataFrame, k: int = TAG_NUM) -> DataFrame:
     """(doc_id, tags array): top-K by (tf desc, doc-freq asc, word asc).
 
     Distributed equivalent of KeywordExtractor.hpp:54-99's partial_sort
-    with integer ordering: explode -> count -> join doc-freq -> window.
+    with integer ordering. Input may be a `featurize_docs` frame (has
+    `wc` pre-counted in-kernel — preferred, occurrence explosion never
+    shuffles) or any frame with a raw `tokens` column.
     """
-    toks = tokens_df.select(
-        "doc_id", F.explode("tokens").alias("word")
-    ).filter(F.length("word") > 1)
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_counts = toks.dropDuplicates(["doc_id", "word"]).groupBy("word").agg(
-        F.count("*").alias("df")
-    )
+    if "wc" in tokens_df.columns:
+        tf = tokens_df.select(
+            "doc_id", F.explode("wc").alias("e")
+        ).select("doc_id", F.col("e.word").alias("word"), F.col("e.tf").alias("tf"))
+    else:
+        toks = tokens_df.select(
+            "doc_id", F.explode("tokens").alias("word")
+        ).filter(F.length("word") > 1)
+        tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # tf rows are distinct per (doc_id, word), so doc-frequency is a
+    # plain count per word — no dropDuplicates shuffle needed.
+    df_counts = tf.groupBy("word").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("word")
     )
@@ -335,9 +386,9 @@ def cluster_documents(
     with 10 tags (SURVEY.md J1/J2)."""
     if mode == "v1":
         sim_bound, tag_num = 0.75, 10
-    toks = tokenize_docs(docs).persist()
+    toks = featurize_docs(docs, num_perm=num_perm).persist()
     tags = doc_tags(toks, tag_num)
-    sigs = minhash_df(toks, num_perm)
+    sigs = toks.select("doc_id", "sig")
     pairs = candidate_pairs(sigs, bands)
     if mode == "v1":
         # strict > threshold (findsimilarpassage.py:18-19)
