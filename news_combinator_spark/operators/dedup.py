@@ -267,3 +267,54 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup GROUPS: (doc_id, canonical,
+    is_canonical) for every input row.
+
+    The pairwise view (minhash_near_dups) is not what a training-data
+    pipeline consumes — it needs one keep/drop decision per document.
+    Pairs are closed under transitivity with connected components
+    (iterative hash-min, same machinery as the news clusterer), and the
+    minimum doc_id of each component is the canonical survivor — a
+    deterministic rule that matches the reference's keep-first dedup
+    (pipelines.py:19-23: first writer wins).
+
+    Rows that belong to no near-dup pair are their own canonical. Pass
+    `pairs` to reuse precomputed (a, b) edges.
+    """
+    from .clustering import connected_components
+
+    if pairs is None:
+        pairs = minhash_near_dups(df, text_col, threshold, num_perm, bands)
+    comps = connected_components(pairs.select("a", "b"))
+    return (
+        df.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical"))
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    groups: DataFrame | None = None,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """The corpus after near-dup removal: canonical rows only.
+    Semi-join against the group table — no wide row ever shuffles."""
+    if groups is None:
+        groups = near_dup_groups(df, **near_dup_kwargs)
+    keep = groups.filter("is_canonical").select("doc_id")
+    return df.join(keep, "doc_id", "left_semi")

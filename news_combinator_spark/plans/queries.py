@@ -861,6 +861,13 @@ def q_news_clusters_lsh(spark, sf_dir):
     )
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Corpus-level dedup decision: pairs -> CC -> canonical keep-one."""
+    return dd.near_dup_groups(_dup_corpus(spark), threshold=0.7).orderBy(
+        "doc_id"
+    )
+
+
 def q_minhash_near_dups(spark, sf_dir):
     return dd.minhash_near_dups(_dup_corpus(spark), threshold=0.7).select(
         "a", "b", F.round("jaccard_sim", 4).alias("jaccard_sim")
@@ -964,6 +971,7 @@ QUERIES = {
     # engine-only (rows-only)
     "news_clusters_lsh": (q_news_clusters_lsh, None),
     "minhash_near_dups": (q_minhash_near_dups, None),
+    "near_dup_groups": (q_near_dup_groups, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "ivf_ann": (q_ivf_ann, None),

@@ -111,3 +111,46 @@ def test_bruteforce_topk_self_excluded_and_ranked(spark):
     )
     out = sim.brute_force_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
     assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]
+
+
+def test_near_dup_groups_vs_bruteforce_unionfind(spark, corpus_df):
+    df, texts = corpus_df
+    got = {
+        r["doc_id"]: (r["canonical"], r["is_canonical"])
+        for r in dd.near_dup_groups(df, threshold=0.8).collect()
+    }
+    # ground truth: union-find over brute-force Jaccard pairs
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    toks = [set(tokenize(t)) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if jaccard(toks[i], toks[j]) >= 0.8:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    exp_canon = {i: find(i) for i in range(len(texts))}
+    assert len(got) == len(texts)  # every row gets a decision
+    for i in range(len(texts)):
+        assert got[i][0] == exp_canon[i], (i, got[i], exp_canon[i])
+        assert got[i][1] == (exp_canon[i] == i)
+
+
+def test_dedup_keep_canonical_shrinks_corpus(spark, corpus_df):
+    df, texts = corpus_df
+    kept = dd.dedup_keep_canonical(df, threshold=0.8)
+    n_kept = kept.count()
+    groups = dd.near_dup_groups(df, threshold=0.8)
+    n_canon = groups.filter("is_canonical").count()
+    assert n_kept == n_canon < len(texts)
+    # survivors are exactly the canonical ids, with full original rows
+    assert set(r["doc_id"] for r in kept.collect()) == set(
+        r["doc_id"] for r in groups.filter("is_canonical").collect()
+    )
+    assert kept.columns == df.columns
