@@ -101,3 +101,62 @@ def streaming_event_counts(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_seen_filter(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "url string, host string, priority int",
+    n_buckets: int = 64,
+    query_name: str = "seen_filter",
+):
+    """Stateful streaming URL-seen dedup: the frontier's C1 operator
+    as a Structured Streaming stage (applyInPandasWithState).
+
+    Discovered URLs arrive as a stream; state is a set of xxhash64
+    url hashes per hash-bucket key (n_buckets keys spread state across
+    the cluster exactly like the frontier's salted partitioning; the
+    hash set — not the url strings — keeps per-key state 8 bytes/url).
+    Only first-ever-seen URLs are emitted, across micro-batches. At
+    10^10-URL scale the same operator runs with a state-store TTL and
+    RocksDB state backend; here NoTimeout keeps state for the test's
+    lifetime.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    urls = (
+        spark.readStream.format("parquet").schema(schema).load(input_dir)
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
+    )
+
+    def _dedup(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = {"url": [], "host": [], "priority": []}
+        for pdf in pdf_iter:
+            for url, host, prio, h in zip(
+                pdf["url"], pdf["host"], pdf["priority"], pdf["url_hash"]
+            ):
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    rows["url"].append(url)
+                    rows["host"].append(host)
+                    rows["priority"].append(prio)
+        state.update((list(seen),))
+        yield pd.DataFrame(rows)
+
+    out = urls.groupBy("bucket").applyInPandasWithState(
+        _dedup,
+        outputStructType="url string, host string, priority int",
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

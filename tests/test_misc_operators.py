@@ -125,3 +125,50 @@ def test_structured_streaming_windowed_counts(spark):
         assert row["n"] >= 1
     finally:
         q.stop()
+
+
+def test_streaming_stateful_seen_filter(spark, tmp_path):
+    """C1 as a stateful streaming op: URLs seen in an earlier
+    micro-batch must not be re-emitted by a later one."""
+    from news_combinator_spark.streaming.incremental import (
+        streaming_seen_filter,
+    )
+
+    in_dir = str(tmp_path / "discovered")
+    schema = "url string, host string, priority int"
+
+    def write_batch(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    write_batch(
+        [("http://a.test/1", "a.test", 1),
+         ("http://a.test/2", "a.test", 2),
+         ("http://b.test/1", "b.test", 1),
+         ("http://a.test/1", "a.test", 1)],  # within-batch dup
+        0,
+    )
+    q = streaming_seen_filter(spark, in_dir, query_name="t_seen")
+    try:
+        q.processAllAvailable()
+        got1 = {r["url"] for r in spark.sql("SELECT * FROM t_seen").collect()}
+        assert got1 == {"http://a.test/1", "http://a.test/2", "http://b.test/1"}
+        # second micro-batch: two repeats + two fresh
+        write_batch(
+            [("http://a.test/2", "a.test", 2),
+             ("http://b.test/1", "b.test", 1),
+             ("http://b.test/2", "b.test", 2),
+             ("http://c.test/1", "c.test", 1)],
+            1,
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT url FROM t_seen").collect()
+        urls = [r["url"] for r in rows]
+        assert len(urls) == len(set(urls)), "a url was emitted twice"
+        assert set(urls) == {
+            "http://a.test/1", "http://a.test/2", "http://b.test/1",
+            "http://b.test/2", "http://c.test/1",
+        }
+    finally:
+        q.stop()
