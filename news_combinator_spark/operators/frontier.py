@@ -149,9 +149,18 @@ def crawl(
     allowed_host_suffix: str | None = None,
     checkpoint_dir: str | None = None,
     collect_lineage: bool = True,
+    start_round: int = 0,
+    initial_frontier: DataFrame | None = None,
+    initial_seen: DataFrame | None = None,
 ) -> CrawlResult:
     """Run `rounds` micro-rounds; return every fetched URL with its
     round and the deterministic global fetch_order.
+
+    Resume: pass `start_round` plus the (frontier, seen) pair from
+    `load_checkpoint` to continue a crawl after the driver died —
+    rounds start_round..rounds-1 replay exactly as the uninterrupted
+    run would have executed them (see `resume_crawl`). `seeds` is
+    ignored when `initial_frontier` is given.
 
     `pages` is the web: (url, host, priority, html, ...). Fetch = join
     on url (the sandbox stand-in for the per-host pandas-UDF HTTP
@@ -180,11 +189,18 @@ def crawl(
         spark.sparkContext.defaultParallelism, "url"
     ).persist()
 
-    frontier = seeds.select(*FRONTIER_COLS).localCheckpoint()
+    if initial_frontier is not None:
+        frontier = initial_frontier.select(*FRONTIER_COLS).localCheckpoint()
+        init_seen = (
+            initial_seen if initial_seen is not None else frontier
+        ).select("url").localCheckpoint()
+    else:
+        frontier = seeds.select(*FRONTIER_COLS).localCheckpoint()
+        init_seen = frontier.select("url")
     # seen is kept as a list of already-materialized deltas; unioning
     # lazily for the anti-join avoids rewriting the (growing) full set
     # every round — O(new) per round instead of O(total seen).
-    seen_parts: list[DataFrame] = [frontier.select("url")]
+    seen_parts: list[DataFrame] = [init_seen]
 
     def seen_df() -> DataFrame:
         out = seen_parts[0]
@@ -202,7 +218,7 @@ def crawl(
     fetched_rounds: list[DataFrame] = []
     lineage: list[RoundMetrics] = []
 
-    for r in range(rounds):
+    for r in range(start_round, rounds):
         metrics = RoundMetrics(round=r)
         sched = schedule_per_host(frontier, budgets, salt_buckets).persist()
         taken = sched.filter("taken").drop("taken")
@@ -310,4 +326,35 @@ def load_checkpoint(spark: SparkSession, path: str, rnd: int):
     return (
         spark.read.parquet(os.path.join(base, "frontier")),
         spark.read.parquet(os.path.join(base, "seen")),
+    )
+
+
+def resume_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    budgets: DataFrame,
+    checkpoint_dir: str,
+    from_round: int,
+    rounds: int,
+    **crawl_kwargs,
+) -> CrawlResult:
+    """Continue a checkpointed crawl from `from_round` (the round the
+    checkpoint was written FOR, i.e. save_checkpoint's rnd). The
+    resumed rounds execute exactly as the uninterrupted run would:
+    same frontier, same seen set, hence same schedule, fetch set and
+    per-round lineage. Re-fetching rounds < from_round is never needed
+    — their results are already in the output table (idempotent
+    append keyed by url)."""
+    frontier, seen = load_checkpoint(spark, checkpoint_dir, from_round)
+    return crawl(
+        spark,
+        pages,
+        seeds=frontier,  # ignored, but keeps the signature total
+        budgets=budgets,
+        rounds=rounds,
+        start_round=from_round,
+        initial_frontier=frontier,
+        initial_seen=seen,
+        checkpoint_dir=checkpoint_dir,
+        **crawl_kwargs,
     )

@@ -45,7 +45,17 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=512)
     ap.add_argument("--out", default="")
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument(
+        "--resume-from",
+        type=int,
+        default=-1,
+        help="resume from the checkpoint written for this round "
+        "(requires --out of the interrupted run); rounds before it "
+        "are not re-fetched",
+    )
     args = ap.parse_args()
+    if args.resume_from >= 0 and not args.out:
+        ap.error("--resume-from requires --out (the checkpoint location)")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="nc-crawl-job", cores=cpus)
@@ -59,27 +69,47 @@ def main() -> None:
         "host string, budget int",
     )
     t0 = time.time()
-    res = crawl(
-        spark,
-        pages,
-        seeds,
-        budgets,
-        rounds=args.rounds,
-        allowed_host_suffix=".test",
-        use_bloom=True,
-        bloom_expected=1_000_000,
-        salt_buckets=args.salt_buckets,
-        collect_lineage=True,
-        checkpoint_dir=os.path.join(args.out, "ckpt") if args.out else None,
-    )
+    if args.resume_from >= 0:
+        from news_combinator_spark.operators.frontier import resume_crawl
+
+        res = resume_crawl(
+            spark,
+            pages,
+            budgets,
+            os.path.join(args.out, "ckpt"),
+            from_round=args.resume_from,
+            rounds=args.rounds,
+            allowed_host_suffix=".test",
+            use_bloom=True,
+            bloom_expected=1_000_000,
+            salt_buckets=args.salt_buckets,
+            collect_lineage=True,
+        )
+    else:
+        res = crawl(
+            spark,
+            pages,
+            seeds,
+            budgets,
+            rounds=args.rounds,
+            allowed_host_suffix=".test",
+            use_bloom=True,
+            bloom_expected=1_000_000,
+            salt_buckets=args.salt_buckets,
+            collect_lineage=True,
+            checkpoint_dir=os.path.join(args.out, "ckpt") if args.out else None,
+        )
     n = res.fetched.count()
     wall = time.time() - t0
     if args.out:
+        # a resumed run holds only rounds >= --resume-from; keep it
+        # next to (not over) the interrupted run's rounds
+        suffix = "_resumed" if args.resume_from >= 0 else ""
         res.fetched.write.mode("overwrite").parquet(
-            os.path.join(args.out, "fetched")
+            os.path.join(args.out, f"fetched{suffix}")
         )
         res.lineage_df(spark).write.mode("overwrite").parquet(
-            os.path.join(args.out, "lineage")
+            os.path.join(args.out, f"lineage{suffix}")
         )
     print(
         json.dumps(

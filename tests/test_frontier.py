@@ -182,3 +182,50 @@ def test_checkpoint_roundtrip(spark, tmp_path, crawl_result):
     f2, s2 = load_checkpoint(spark, str(tmp_path), 1)
     assert f2.collect()[0].url == "u1"
     assert s2.count() == 1
+
+
+def test_resume_from_checkpoint_matches_full_run(spark, tmp_path):
+    """North-rule resumability: kill after round 0 (checkpoint for
+    round 1 exists), resume, and the resumed rounds must reproduce the
+    uninterrupted run's fetch set, order and lineage exactly."""
+    from news_combinator_spark.operators.frontier import resume_crawl
+
+    pages = pages_from_documents(spark, SF_SMALL)
+    ckpt = str(tmp_path / "ck")
+    full = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        checkpoint_dir=ckpt,
+    )
+    resumed = resume_crawl(
+        spark,
+        pages,
+        budgets_df(spark),
+        ckpt,
+        from_round=1,
+        rounds=CRAWL_ROUNDS,
+        robots=robots_df(spark),
+        allowed_host_suffix=".test",
+    )
+    cols = ["round", "url", "host", "priority"]
+    exp = (
+        full.fetched.toPandas()
+        .query("round >= 1")
+        .sort_values("fetch_order")[cols]
+        .reset_index(drop=True)
+    )
+    got = (
+        resumed.fetched.toPandas()
+        .sort_values("fetch_order")[cols]
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp), f"\ngot:\n{got}\nexp:\n{exp}"
+    # lineage replays identically for the resumed rounds
+    full_lin = {m.round: (m.frontier, m.scheduled, m.enqueued) for m in full.lineage}
+    for m in resumed.lineage:
+        assert (m.frontier, m.scheduled, m.enqueued) == full_lin[m.round], m
