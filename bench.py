@@ -63,6 +63,8 @@ SQL_BENCH_QUERIES = [
     "ngram_overlap",
     "ann_topk",
     "label_centroids",
+    "embedding_near_dups",
+    "near_dup_groups",
     "front_page_ranking",
     "index_daterange",
     "group_by_day",

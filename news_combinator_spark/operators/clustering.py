@@ -291,15 +291,32 @@ def greedy_relabel(
     edges: DataFrame,
     components: DataFrame,
     max_similar: int = MAX_SIMILAR,
+    max_component_edges: int | None = None,
 ) -> DataFrame:
     """Per-component reference greedy (categorize.cpp:92-165).
 
     Returns (cluster_id = seed doc_id, member doc_id, member_rank)
     with overlap semantics preserved.
+
+    Scale bound: each component's edge list must fit one Python worker
+    (the greedy is inherently sequential in scan order, exactly like
+    the reference). Edge counts are already capped indirectly by the
+    LSH bucket guard, but a pathological corpus (10^8 copies of one
+    boilerplate page) can still produce one giant component; pass
+    max_component_edges to drop such components outright (None = off,
+    full reference parity — the reference would chop the same family
+    into <=6-doc clusters, so dropping is a divergence to opt into).
     """
     e = edges.join(
         components.withColumnRenamed("doc_id", "a"), "a"
     ).select("component", "a", "b")
+    if max_component_edges is not None:
+        w_comp = Window.partitionBy("component")
+        e = (
+            e.withColumn("n_edges", F.count("*").over(w_comp))
+            .filter(F.col("n_edges") <= max_component_edges)
+            .drop("n_edges")
+        )
 
     def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
         nbrs: dict[int, list[int]] = {}

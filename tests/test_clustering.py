@@ -135,3 +135,23 @@ def test_singletons_produce_no_cluster():
         "completely different tokens instead",
     ]
     assert greedy_clusters(texts) == []
+
+
+def test_greedy_relabel_giant_component_guard(spark):
+    """max_component_edges drops oversized dup families (scale hygiene,
+    off by default for reference parity)."""
+    from news_combinator_spark.operators.clustering import greedy_relabel
+
+    # one 5-edge star component (0-1..5) and one 1-edge pair (10-11)
+    edges = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)] + [(10, 11, 1.0)],
+        "a long, b long, sim double",
+    )
+    comps = spark.createDataFrame(
+        [(i, 0) for i in range(6)] + [(10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    full = greedy_relabel(edges, comps).toPandas()
+    assert set(full.cluster_id) == {0, 10}
+    guarded = greedy_relabel(edges, comps, max_component_edges=3).toPandas()
+    assert set(guarded.cluster_id) == {10}, guarded

@@ -229,3 +229,28 @@ def test_resume_from_checkpoint_matches_full_run(spark, tmp_path):
     full_lin = {m.round: (m.frontier, m.scheduled, m.enqueued) for m in full.lineage}
     for m in resumed.lineage:
         assert (m.frontier, m.scheduled, m.enqueued) == full_lin[m.round], m
+
+
+def test_crawl_deterministic_across_shuffle_partitions(spark, crawl_result):
+    """SURVEY.md §7 risk 1: results must never depend on partition
+    iteration order — the identical crawl at a different (prime)
+    shuffle-partition count must produce the identical fetch table."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        pages = pages_from_documents(spark, SF_SMALL)
+        res7 = crawl(
+            spark,
+            pages,
+            seeds_df(spark, pages),
+            budgets_df(spark),
+            robots=robots_df(spark),
+            rounds=CRAWL_ROUNDS,
+            allowed_host_suffix=".test",
+            collect_lineage=False,
+        )
+        got7 = res7.fetched.toPandas().sort_values("fetch_order")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    base = crawl_result.fetched.toPandas().sort_values("fetch_order")
+    assert got7.reset_index(drop=True).equals(base.reset_index(drop=True))
