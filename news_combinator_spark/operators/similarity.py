@@ -59,16 +59,40 @@ def brute_force_topk(
     )
 
 
+def _assign_to(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid by COSINE (centroid norm divided out; the row
+    vector's own norm is constant per row so it never moves argmax)."""
+    scored = (
+        vecs.join(F.broadcast(centroids))
+        .withColumn(
+            "d",
+            _dot(F.col("v"), F.col("centroid")) / F.col("centroid_norm"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id", "cell")
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF coarse quantizer: centroids = the n_cells
-    corpus vectors with the lowest ids (seeded sample stand-in —
-    deterministic, and adequate for bucketing). Returns (centroids,
-    assignments(id, cell))."""
+    """Deterministic IVF coarse quantizer. Seeds = the n_cells corpus
+    vectors with the lowest ids, then `train_iters` Lloyd refinements
+    (centroid = per-dimension mean of its members — posexplode +
+    groupBy, all JVM-side; empty cells keep their previous centroid).
+    Assignment is cosine-correct. Returns (centroids(cell, centroid,
+    centroid_norm), assignments(id, cell))."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     centroids = (
         corpus.orderBy(id_col)
         .limit(n_cells)
@@ -81,18 +105,33 @@ def assign_cells(
             F.row_number().over(Window.orderBy("cell_src")) - 1,
         )
         .select("cell", "centroid")
+        .withColumn("centroid_norm", _norm_col(F.col("centroid")))
     )
-    scored = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(centroids))
-        .withColumn("d", _dot(F.col("v"), F.col("centroid")))
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("id", "cell")
-    )
+    for _ in range(train_iters):
+        assign = _assign_to(vecs, centroids)
+        means = (
+            vecs.join(assign, "id")
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm")
+            )
+            .select(
+                "cell",
+                F.expr("transform(dm, p -> p.m)").alias("new_centroid"),
+            )
+        )
+        centroids = (
+            centroids.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+            .withColumn("centroid_norm", _norm_col(F.col("centroid")))
+        )
+    assign = _assign_to(vecs, centroids)
     return centroids, assign
 
 
@@ -104,9 +143,12 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe best cells per query."""
-    centroids, assign = assign_cells(corpus, n_cells, id_col, vec_col)
+    centroids, assign = assign_cells(
+        corpus, n_cells, id_col, vec_col, train_iters
+    )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -119,7 +161,9 @@ def ivf_topk(
     ).withColumn("qn", _norm_col(F.col("qv")))
     q_cells = (
         q.join(F.broadcast(centroids))
-        .withColumn("d", _dot(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "d", _dot(F.col("qv"), F.col("centroid")) / F.col("centroid_norm")
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
     probes = (
