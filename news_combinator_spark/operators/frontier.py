@@ -75,6 +75,22 @@ class CrawlResult:
             "discovered long, robots_blocked long, deduped long, enqueued long",
         )
 
+    def host_lineage_df(self) -> DataFrame:
+        """Per-(round, host) fetch counts — the per-partition lineage
+        view (host is the frontier's partition key, so this is what a
+        per-partition audit on a real cluster would record). Derived
+        lazily from the fetched table; also the politeness audit: every
+        n_fetched must be <= that host's budget."""
+        return (
+            self.fetched.groupBy("round", "host")
+            .agg(
+                F.count("*").alias("n_fetched"),
+                F.min("fetch_order").alias("first_order"),
+                F.max("fetch_order").alias("last_order"),
+            )
+            .orderBy("round", "host")
+        )
+
 
 def schedule_per_host(
     frontier: DataFrame, budgets: DataFrame, salt_buckets: int = 0

@@ -108,6 +108,9 @@ def main() -> None:
         res.fetched.write.mode("overwrite").parquet(
             os.path.join(args.out, f"fetched{suffix}")
         )
+        res.host_lineage_df().write.mode("overwrite").parquet(
+            os.path.join(args.out, f"host_lineage{suffix}")
+        )
         res.lineage_df(spark).write.mode("overwrite").parquet(
             os.path.join(args.out, f"lineage{suffix}")
         )

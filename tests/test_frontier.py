@@ -254,3 +254,15 @@ def test_crawl_deterministic_across_shuffle_partitions(spark, crawl_result):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     base = crawl_result.fetched.toPandas().sort_values("fetch_order")
     assert got7.reset_index(drop=True).equals(base.reset_index(drop=True))
+
+
+def test_host_lineage_politeness_audit(crawl_result):
+    """Per-(round, host) lineage: counts complete and every host within
+    its budget each round."""
+    hl = crawl_result.host_lineage_df().toPandas()
+    total = crawl_result.fetched.count()
+    assert hl.n_fetched.sum() == total
+    for _, row in hl.iterrows():
+        cap = 2 if row.host == "h0.test" else 3
+        assert row.n_fetched <= cap, row
+        assert row.first_order <= row.last_order
