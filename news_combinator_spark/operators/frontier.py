@@ -33,6 +33,7 @@ Scale notes (10^10-URL frontier):
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -42,6 +43,7 @@ from pyspark.sql import functions as F
 from ..functions.extract import links_udf
 from ..functions.urls import canonicalize_udf
 from .bloom import Bloom, build_bloom, maybe_seen_udf, optimal_params
+from .ranking import partitioned_global_rank
 
 FRONTIER_COLS = ["url", "host", "priority"]
 
@@ -168,6 +170,7 @@ def crawl(
     start_round: int = 0,
     initial_frontier: DataFrame | None = None,
     initial_seen: DataFrame | None = None,
+    fetch_order_base: int = 0,
 ) -> CrawlResult:
     """Run `rounds` micro-rounds; return every fetched URL with its
     round and the deterministic global fetch_order.
@@ -176,7 +179,11 @@ def crawl(
     `load_checkpoint` to continue a crawl after the driver died —
     rounds start_round..rounds-1 replay exactly as the uninterrupted
     run would have executed them (see `resume_crawl`). `seeds` is
-    ignored when `initial_frontier` is given.
+    ignored when `initial_frontier` is given. `fetch_order_base` (the
+    checkpointed cumulative fetched count) shifts fetch_order so the
+    resumed output's numbering continues the uninterrupted run's —
+    merging the two fetch tables yields exactly the uninterrupted
+    result, fetch_order included.
 
     `pages` is the web: (url, host, priority, html, ...). Fetch = join
     on url (the sandbox stand-in for the per-host pandas-UDF HTTP
@@ -193,6 +200,12 @@ def crawl(
       partition-bitset merge tens of KB instead of tens of MB. No
       false negatives are possible, so no URL is ever re-fetched.
     """
+    if start_round >= rounds:
+        raise ValueError(
+            f"start_round ({start_round}) must be < rounds ({rounds}): "
+            "nothing left to crawl — raise --rounds or resume an "
+            "earlier checkpoint"
+        )
     # The "web" is probed by url every round: pre-partition once on the
     # join key so each round's fetch/priority lookups co-locate without
     # a fresh full shuffle of pages.
@@ -231,8 +244,13 @@ def crawl(
         bloom = build_bloom(seen_df(), "url", m, k)
         maybe_udf = maybe_seen_udf(spark, bloom)
 
+    if checkpoint_dir is not None and start_round == 0:
+        # base snapshot: seeds are seen-delta 0, nothing fetched yet
+        save_checkpoint(frontier, init_seen, checkpoint_dir, 0, n_fetched=0)
+
     fetched_rounds: list[DataFrame] = []
     lineage: list[RoundMetrics] = []
+    fetched_total = fetch_order_base
 
     for r in range(start_round, rounds):
         metrics = RoundMetrics(round=r)
@@ -259,6 +277,11 @@ def crawl(
             metrics.frontier = frontier.count()
             metrics.scheduled = fetched.count()
             metrics.deferred = metrics.frontier - metrics.scheduled
+            fetched_total += metrics.scheduled
+        elif checkpoint_dir is not None:
+            # the checkpoint's cumulative fetched count lets a resumed
+            # run continue the global fetch_order numbering
+            fetched_total += fetched.count()
 
         if r < rounds - 1:
             links = fetched.select(
@@ -310,17 +333,34 @@ def crawl(
                 bloom.or_(delta.bits)
                 maybe_udf = maybe_seen_udf(spark, bloom)
             if checkpoint_dir is not None:
-                save_checkpoint(frontier, seen_df(), checkpoint_dir, r + 1)
+                # O(new) per round: only this round's seen DELTA is
+                # written; load_checkpoint unions deltas 0..round
+                save_checkpoint(
+                    frontier, new.select("url"), checkpoint_dir, r + 1,
+                    n_fetched=fetched_total,
+                )
         sched.unpersist()
         lineage.append(metrics)
 
     all_fetched = fetched_rounds[0]
     for df in fetched_rounds[1:]:
         all_fetched = all_fetched.unionByName(df)
-    order_w = Window.orderBy("round", "priority", "host", "url")
-    result = all_fetched.withColumn(
-        "fetch_order", F.row_number().over(order_w)
-    )
+    # Total crawl order = row_number over (round, priority, host, url),
+    # decomposed so no data-sized frame ever coalesces to one partition
+    # (the old bare Window.orderBy was the 100x-scale killer): rank
+    # within each (round, priority, host) slice — contiguous in the
+    # total order since url is the last sort key — and offset by a
+    # broadcast exclusive prefix sum over the rounds x priorities x
+    # hosts counts frame. Identical numbering to the oracle's ORDER BY
+    # (oracle/crawl_sql.py), zero single-partition data stages.
+    result = partitioned_global_rank(
+        all_fetched,
+        part_cols=["round", "priority", "host"],
+        order_cols=["url"],
+        out_col="fetch_order",
+        base=fetch_order_base,
+        cast_to="int",
+    ).select("round", "url", "host", "priority", "fetch_order")
     return CrawlResult(fetched=result, lineage=lineage)
 
 
@@ -328,21 +368,48 @@ def crawl(
 # Checkpoint / resume (Iceberg-snapshot stand-in; SURVEY.md §2.9)
 # --------------------------------------------------------------------------
 
-def save_checkpoint(frontier: DataFrame, seen: DataFrame, path: str, rnd: int):
-    frontier.write.mode("overwrite").parquet(
-        os.path.join(path, f"round={rnd}", "frontier")
+def save_checkpoint(
+    frontier: DataFrame,
+    seen_delta: DataFrame,
+    path: str,
+    rnd: int,
+    n_fetched: int = 0,
+):
+    """Snapshot for round `rnd`: the full frontier (inherently
+    O(frontier)), this round's seen DELTA only (O(new) — the full seen
+    set is the union of deltas 0..rnd, never rewritten), and a meta
+    record with the cumulative fetched count so a resume can continue
+    the global fetch_order numbering."""
+    base = os.path.join(path, f"round={rnd}")
+    frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
+    seen_delta.select("url").write.mode("overwrite").parquet(
+        os.path.join(base, "seen_delta")
     )
-    seen.write.mode("overwrite").parquet(
-        os.path.join(path, f"round={rnd}", "seen")
-    )
+    tmp = os.path.join(base, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"round": rnd, "n_fetched": n_fetched}, f)
+    os.replace(tmp, os.path.join(base, "meta.json"))
 
 
 def load_checkpoint(spark: SparkSession, path: str, rnd: int):
+    """-> (frontier, seen, meta). seen = union of the per-round deltas
+    0..rnd (each delta was written once; nothing is re-read at
+    O(total) write cost — this is the read side of the O(new)/round
+    design)."""
     base = os.path.join(path, f"round={rnd}")
-    return (
-        spark.read.parquet(os.path.join(base, "frontier")),
-        spark.read.parquet(os.path.join(base, "seen")),
-    )
+    frontier = spark.read.parquet(os.path.join(base, "frontier"))
+    delta_paths = [
+        os.path.join(path, f"round={r}", "seen_delta")
+        for r in range(rnd + 1)
+    ]
+    delta_paths = [p for p in delta_paths if os.path.exists(p)]
+    seen = spark.read.parquet(*delta_paths).select("url")
+    meta_path = os.path.join(base, "meta.json")
+    meta = {"round": rnd, "n_fetched": 0}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return frontier, seen, meta
 
 
 def resume_crawl(
@@ -357,11 +424,17 @@ def resume_crawl(
     """Continue a checkpointed crawl from `from_round` (the round the
     checkpoint was written FOR, i.e. save_checkpoint's rnd). The
     resumed rounds execute exactly as the uninterrupted run would:
-    same frontier, same seen set, hence same schedule, fetch set and
-    per-round lineage. Re-fetching rounds < from_round is never needed
-    — their results are already in the output table (idempotent
-    append keyed by url)."""
-    frontier, seen = load_checkpoint(spark, checkpoint_dir, from_round)
+    same frontier, same seen set, same schedule/fetch set/lineage, and
+    — via the checkpointed cumulative fetched count — the same global
+    fetch_order values, so unioning the pre-crash output with the
+    resumed output reproduces the uninterrupted table exactly.
+    Re-fetching rounds < from_round is never needed — their results
+    are already in the output table (idempotent append keyed by url)."""
+    if from_round >= rounds:
+        raise ValueError(
+            f"from_round ({from_round}) must be < rounds ({rounds})"
+        )
+    frontier, seen, meta = load_checkpoint(spark, checkpoint_dir, from_round)
     return crawl(
         spark,
         pages,
@@ -372,5 +445,6 @@ def resume_crawl(
         initial_frontier=frontier,
         initial_seen=seen,
         checkpoint_dir=checkpoint_dir,
+        fetch_order_base=int(meta.get("n_fetched", 0)),
         **crawl_kwargs,
     )

@@ -8,7 +8,7 @@ in __spark_entry__.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -86,12 +86,14 @@ def sort_comments(
 
 
 def paginate(df: DataFrame, order_cols, pn: int = 1, rn: int = 20) -> DataFrame:
-    """O3 comment paging (commentsAction.php:10-11) via window."""
-    w = Window.orderBy(*order_cols)
+    """O3 comment paging (commentsAction.php:10-11). Page pn needs only
+    the top pn*rn rows of the total order, so rank a limit-bounded
+    prefix (TakeOrderedAndProject) instead of windowing the whole
+    relation into one partition."""
+    from .ranking import ranked_prefix
+
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(
-            (F.col("_rn") > (pn - 1) * rn) & (F.col("_rn") <= pn * rn)
-        )
+        ranked_prefix(df, list(order_cols), limit=pn * rn, out_col="_rn")
+        .filter(F.col("_rn") > (pn - 1) * rn)
         .drop("_rn")
     )

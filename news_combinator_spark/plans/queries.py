@@ -33,6 +33,7 @@ from ..operators import similarity as sim
 from ..operators.clustering import cluster_documents
 from ..operators.frontier import crawl
 from ..operators.multimodal import encode_fake_image, with_image_features
+from ..operators.ranking import partitioned_global_rank, ranked_prefix
 from ..operators.summarize import add_abstract_column
 from ..oracle.crawl_sql import crawl_oracle_sql, seen_set_oracle_sql
 
@@ -188,10 +189,13 @@ def q_index_daterange(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyyMMdd").cast("int")
     )
-    max_day = ev.agg(F.max("day")).collect()[0][0]
-    cutoff = int(max_day) - 2  # 3-day default range (indexAction.php:8-13)
+    # 3-day default range (indexAction.php:8-13); the max-day scalar is
+    # a broadcast cross join, not a driver collect — the plan stays
+    # closed (one job, no driver barrier between agg and filter)
+    mx = ev.agg(F.max("day").alias("max_day"))
     return (
-        ev.filter(F.col("day") >= cutoff)
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") >= F.col("max_day") - 2)
         .groupBy("day")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
@@ -229,14 +233,20 @@ def q_front_page_ranking(spark, sf_dir):
         )
         .withColumn("n_distinct_sources", F.size(F.array_distinct(arr)))
     )
-    w = Window.orderBy(
-        F.desc("day_time"),
-        F.desc("has_preferred"),
-        F.desc("n_distinct_sources"),
-        F.asc("cluster_id"),
-    )
-    return ranked.withColumn(
-        "rank", F.row_number().over(w).cast("int")
+    # global rank without a single-partition window: rank within each
+    # day (parallel), offset by the broadcast per-day prefix sums —
+    # the only unpartitioned frame is the distinct-day counts
+    return partitioned_global_rank(
+        ranked,
+        part_cols=["day_time"],
+        part_order=[F.desc("day_time")],
+        order_cols=[
+            F.desc("has_preferred"),
+            F.desc("n_distinct_sources"),
+            F.asc("cluster_id"),
+        ],
+        out_col="rank",
+        cast_to="int",
     ).select(
         "cluster_id", "day_time", "source_names", "has_preferred",
         "n_distinct_sources", "rank",
@@ -307,14 +317,17 @@ def q_comments_sort(spark, sf_dir):
     """W5+O3: preferred-type-first then time ordering with pagination
     (commentsAction.php:182-189, 10-11)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(
+    order = [
         F.desc((F.col("event_type") == "error").cast("int")),
         F.asc("ts"),
         F.asc("event_id"),
-    )
+    ]
+    # page 2 of 20 needs only the top-40 prefix: TakeOrderedAndProject
+    # (parallel per-partition top-k) bounds the ranked frame at 40 rows
+    # regardless of input size — no global window over the events table
     return (
-        ev.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        ranked_prefix(ev, order, limit=40, out_col="rn")
+        .filter(F.col("rn") > 20)
         .select("event_id", "event_type", "rn")
     )
 
@@ -397,10 +410,11 @@ def q_top_revenue_customers(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter("rank <= 10")
+    # top-10 via orderBy().limit() (TakeOrderedAndProject — parallel
+    # top-k, bounded merge); the rank window then sees only 10 rows
+    return ranked_prefix(
+        rev, [F.desc("revenue"), F.asc("c_custkey")], limit=10,
+        out_col="rank",
     )
 
 

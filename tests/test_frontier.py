@@ -177,11 +177,15 @@ def test_checkpoint_roundtrip(spark, tmp_path, crawl_result):
     frontier = spark.createDataFrame(
         [("u1", "h", 1)], "url string, host string, priority int"
     )
-    seen = frontier.select("url")
-    save_checkpoint(frontier, seen, str(tmp_path), 1)
-    f2, s2 = load_checkpoint(spark, str(tmp_path), 1)
+    seen0 = frontier.select("url")
+    delta1 = spark.createDataFrame([("u2",)], "url string")
+    save_checkpoint(frontier, seen0, str(tmp_path), 0, n_fetched=0)
+    save_checkpoint(frontier, delta1, str(tmp_path), 1, n_fetched=7)
+    f2, s2, meta = load_checkpoint(spark, str(tmp_path), 1)
     assert f2.collect()[0].url == "u1"
-    assert s2.count() == 1
+    # seen = union of deltas 0..1 (O(new)-per-round checkpointing)
+    assert {r.url for r in s2.collect()} == {"u1", "u2"}
+    assert meta["n_fetched"] == 7
 
 
 def test_resume_from_checkpoint_matches_full_run(spark, tmp_path):
@@ -212,7 +216,10 @@ def test_resume_from_checkpoint_matches_full_run(spark, tmp_path):
         robots=robots_df(spark),
         allowed_host_suffix=".test",
     )
-    cols = ["round", "url", "host", "priority"]
+    # fetch_order included: the checkpointed cumulative fetched count
+    # offsets the resumed numbering, so merging the pre-crash rounds
+    # with the resumed rounds reproduces the uninterrupted table
+    cols = ["round", "url", "host", "priority", "fetch_order"]
     exp = (
         full.fetched.toPandas()
         .query("round >= 1")
@@ -229,6 +236,23 @@ def test_resume_from_checkpoint_matches_full_run(spark, tmp_path):
     full_lin = {m.round: (m.frontier, m.scheduled, m.enqueued) for m in full.lineage}
     for m in resumed.lineage:
         assert (m.frontier, m.scheduled, m.enqueued) == full_lin[m.round], m
+
+
+def test_resume_past_end_raises(spark, tmp_path):
+    """Resuming with start_round >= rounds (e.g. --resume-from equal to
+    the round count with an unchanged --rounds) must fail fast, not
+    IndexError deep in the loop."""
+    pages = pages_from_documents(spark, SF_SMALL)
+    with pytest.raises(ValueError, match="start_round"):
+        crawl(
+            spark,
+            pages,
+            seeds_df(spark, pages),
+            budgets_df(spark),
+            rounds=2,
+            start_round=2,
+            collect_lineage=False,
+        )
 
 
 def test_crawl_deterministic_across_shuffle_partitions(spark, crawl_result):

@@ -155,6 +155,105 @@ def test_no_python_udf_in_jvm_expressible_queries(spark, qname):
     assert "EvalPython" not in plan, plan
 
 
+# ---------------------------------------------------------------------------
+# No data-sized single-partition stages (the 100x-scale killer class)
+# ---------------------------------------------------------------------------
+
+# An Exchange SinglePartition is legitimate only when its input is
+# cardinality-bounded: beneath an aggregate (group-count rows), or a
+# limit / parallel top-k (TakeOrderedAndProject). A single-partition
+# exchange over raw data — the old bare Window.orderBy pattern — is a
+# guaranteed OOM / single-task stall at web scale.
+_BOUNDED_MARKERS = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def _node_depth(line: str) -> int:
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def single_partition_violations(plan: str) -> list[str]:
+    """Exchange SinglePartition nodes whose subtree holds no aggregate
+    or limit — i.e. single-partition stages over unbounded data."""
+    lines = plan.splitlines()
+    viols = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _node_depth(ln)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        if not any(m in s for s in subtree for m in _BOUNDED_MARKERS):
+            viols.append(ln.strip())
+    return viols
+
+
+# every lazily-built battery query (the crawl/cluster loops execute
+# eagerly at build time and are audited separately)
+_LAZY_QUERIES = [
+    "extract_text", "extract_links", "extract_markers", "url_parse",
+    "index_daterange", "front_page_ranking", "entry_lookup",
+    "comments_sort", "group_by_day", "pricing_summary",
+    "top_revenue_customers", "order_priority", "running_total",
+    "sessionize", "event_type_pivot", "distinct_users", "lang_id",
+    "quality_score", "token_count", "fingerprint", "dedup_stats",
+    "dedup_first", "ngram_overlap", "summarize", "ann_topk",
+    "label_centroids", "minhash_near_dups", "simhash_near_dups",
+    "embedding_near_dups", "multimodal_features",
+]
+
+
+@pytest.mark.parametrize("qname", _LAZY_QUERIES)
+def test_no_unbounded_single_partition_exchange(spark, qname):
+    fn, _sql = Q.QUERIES[qname]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _simple(fn(spark, SF_MED))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    viols = single_partition_violations(plan)
+    assert not viols, f"unbounded single-partition stages: {viols}\n{plan}"
+
+
+def test_frontier_fetch_order_no_global_window(spark):
+    """The flagship crawl output plan must not coalesce the fetched
+    table into one partition for fetch_order (the round-1 scale
+    killer): the only single-partition frame allowed is the
+    rounds x priorities x hosts offsets aggregate."""
+    from news_combinator_spark.datagen import (
+        budgets_df,
+        pages_from_documents,
+        seeds_df,
+    )
+    from news_combinator_spark.operators.frontier import crawl
+
+    from conftest import SF_SMALL
+
+    pages = pages_from_documents(spark, SF_SMALL)
+    res = crawl(
+        spark, pages, seeds_df(spark, pages), budgets_df(spark),
+        rounds=2, collect_lineage=False,
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _simple(res.fetched)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    viols = single_partition_violations(plan)
+    assert not viols, f"unbounded single-partition stages: {viols}\n{plan}"
+
+
 def test_partial_aggregation_before_shuffle(spark):
     """groupBy must map-side combine (two HashAggregate levels around
     the exchange), or the shuffle carries every input row at 100 TB."""
