@@ -229,9 +229,12 @@ def jaccard(a: set, b: set) -> float:
 
 # Tiny per-language stopword lists for the heuristic language-id
 # (kept SQL-expressible so the DuckDB oracle can mirror it exactly).
+# SINGLE SOURCE: the Spark query, its DuckDB oracle SQL, and any
+# kernel all import this dict (plans/queries.py generates both sides
+# from it) so the marker sets can never drift.
 LANG_MARKERS = {
-    "en": ["the", "a", "of", "and", "to"],
-    "es": ["el", "la", "de", "que", "y"],
-    "fr": ["le", "la", "de", "et", "les"],
-    "de": ["der", "die", "das", "und", "nicht"],
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "nicht"),
 }

@@ -250,7 +250,17 @@ def connected_components(
     """(doc_id, component) via hash-min label propagation: every node
     repeatedly adopts the min label in its neighborhood. Converges in
     O(diameter) rounds; near-dup components are tiny so 2-3 rounds
-    typical. Each round is one groupBy shuffle on doc_id."""
+    typical. Each round is one groupBy shuffle on doc_id — and ONE
+    driver barrier: the step frame is lazily localCheckpoint'ed and
+    the convergence count is the action that materializes it (the
+    aggregate scans every partition, so the checkpoint cache is
+    complete), folding the former checkpoint-then-count pair of jobs
+    into one. Warns if max_iter rounds pass without convergence —
+    components deeper than max_iter hops would keep non-minimal labels
+    (callers with pathological chain-shaped dup families should raise
+    max_iter)."""
+    import warnings
+
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -278,12 +288,24 @@ def connected_components(
                 (F.coalesce("nbr_min", "component") < F.col("component"))
                 .alias("changed"),
             )
-            .localCheckpoint()  # constant-depth lineage; one job
+            .localCheckpoint(eager=False)  # materialized by the count below
+        )
+        n_changed = (
+            stepped.agg(
+                F.count(F.when(F.col("changed"), F.lit(1))).alias("n")
+            ).collect()[0]["n"]
         )
         labels = stepped.select("doc_id", "component")
-        # cheap on the checkpointed frame — no recompute, no extra join
-        if stepped.filter("changed").limit(1).count() == 0:
+        if n_changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} "
+            "iterations — a component with hop-diameter > max_iter kept "
+            "non-minimal labels; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -59,9 +59,12 @@ def brute_force_topk(
     )
 
 
-def _assign_to(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid by COSINE (centroid norm divided out; the row
-    vector's own norm is constant per row so it never moves argmax)."""
+def _assign_to(
+    vecs: DataFrame, centroids: DataFrame, n_probe: int = 1
+) -> DataFrame:
+    """Top-``n_probe`` nearest centroids by COSINE (centroid norm
+    divided out; the row vector's own norm is constant per row so it
+    never moves the argmax)."""
     scored = (
         vecs.join(F.broadcast(centroids))
         .withColumn(
@@ -72,7 +75,7 @@ def _assign_to(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        .filter(F.col("rn") <= n_probe)
         .select("id", "cell")
     )
 
@@ -133,6 +136,28 @@ def assign_cells(
         )
     assign = _assign_to(vecs, centroids)
     return centroids, assign
+
+
+def assign_cells_multi(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 1,
+) -> DataFrame:
+    """Multi-probe cell assignment: (id, cell) with each vector in its
+    ``n_probe`` nearest IVF cells. Used as the default blocking for
+    embedding near-dup detection at scale — two near-identical vectors
+    share their top cells with probability -> 1, so a same-cell join
+    after multi-probing recovers near-dup pairs without the all-pairs
+    cross join."""
+    centroids, _ = assign_cells(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        train_iters=train_iters,
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return _assign_to(vecs, centroids, n_probe=n_probe)
 
 
 def ivf_topk(

@@ -564,12 +564,9 @@ SQL_DISTINCT_USERS = """
 # Text-analysis family (training-data ops over `documents`)
 # ===========================================================================
 
-_LANG_LISTS = {
-    "en": ("the", "a", "of", "and", "to"),
-    "es": ("el", "la", "de", "que", "y"),
-    "fr": ("le", "les", "des", "et", "une"),
-    "de": ("der", "die", "das", "und", "nicht"),
-}
+# single-sourced marker lists (functions/textfns.py) — the Spark query
+# and the DuckDB oracle SQL are both generated from the same constant
+from ..functions.textfns import LANG_MARKERS as _LANG_LISTS  # noqa: E402
 
 
 def _lang_score(lang: str):

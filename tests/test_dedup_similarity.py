@@ -80,6 +80,42 @@ def test_embedding_near_dups_threshold(spark):
     assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
 
 
+def test_embedding_near_dups_auto_bucket_matches_bruteforce(spark):
+    """Above the row guard the default path blocks by multi-probed IVF
+    cells instead of an all-pairs cross join; on a clustered corpus the
+    bucketed pair set must equal brute force exactly (near-dup vectors
+    share their top cells), and every pair is exact-cosine verified."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(20):  # 20 well-separated direction clusters
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _ in range(10):  # 10 near-identical members each
+            v = [x + rng.gauss(0, 0.01) for x in base]
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["a"], r["b"])
+        for r in dd.embedding_near_dups(
+            emb, threshold=0.95, auto_bucket_rows=10_000
+        ).collect()
+    }
+    bucketed = {
+        (r["a"], r["b"])
+        for r in dd.embedding_near_dups(
+            emb, threshold=0.95, auto_bucket_rows=0, n_cells=8, n_probe=2
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert bucketed == exact
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
