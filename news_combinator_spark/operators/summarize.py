@@ -66,14 +66,19 @@ def split_sentences_v2(text: str) -> list[str]:
 
 
 def top_tags_by_count(text: str, k: int = 10) -> dict[str, float]:
-    """Tag -> weight for the summarizer; weight = tf share (the
-    engine's deterministic stand-in for the idf-file-pinned
-    KeywordExtractor weights)."""
+    """Tag -> weight for the summarizer; weight = raw term frequency
+    (the engine's deterministic stand-in for the idf-file-pinned
+    KeywordExtractor weights). Integer-valued on purpose: within one
+    document any positive monotone transform of tf ranks sentences
+    identically, and integer-valued weights make the per-sentence sums
+    exactly representable, so the selection is bit-stable across
+    engines/summation orders (the SQL oracle ranks by the same integer
+    sums — a tf/total float share could flip ties by summation-order
+    ulps)."""
     toks = [t for t in tokenize(text) if len(t) > 1]
     counts = Counter(toks)
-    total = sum(counts.values()) or 1
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    return {w: c / total for w, c in ranked}
+    return {w: float(c) for w, c in ranked}
 
 
 def abstract_v2(text: str, keyword_num: int = 10) -> str:

@@ -781,18 +781,88 @@ SQL_NGRAM_OVERLAP = """
 """
 
 
+_SUM_CHUNKS = 14  # sentences per doc -> req = floor(14*0.15) = 2
+_SUM_WIDTH = 30
+
+
 def q_summarize(spark, sf_dir):
-    """W2: v2 extractive abstract. Driver corpus has no sentence
-    delimiters, so spec says: single sentence -> whole text + '|'
-    (req_num floor 0 -> all; abstraction_service.cpp:203-206)."""
+    """W2: v2 extractive abstract (abstraction_service.cpp:162-213)
+    over a derived multi-sentence text: the driver corpus carries no
+    sentence delimiters, so both engines deterministically re-chunk
+    each document into 14 fixed-width pieces joined by ' . '. Every
+    doc then has exactly 14 sentences -> req = floor(14*0.15) = 2, and
+    the oracle hash-checks the REAL top-15% selection + document-order
+    restore, not the degenerate whole-text fallback."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return add_abstract_column(docs, text_col="text").select(
+    chunks = [
+        F.substring("text", 1 + _SUM_WIDTH * i, _SUM_WIDTH)
+        for i in range(_SUM_CHUNKS)
+    ]
+    docs2 = docs.select(
+        "doc_id", F.concat_ws(" . ", *chunks).alias("text2")
+    )
+    return add_abstract_column(docs2, text_col="text2").select(
         "doc_id", "abstract"
     )
 
 
-SQL_SUMMARIZE = """
-    SELECT doc_id, text || '|' AS abstract FROM documents
+_SUM_CHUNK_SQL = ", ".join(
+    f"substr(text, {1 + _SUM_WIDTH * i}, {_SUM_WIDTH})"
+    for i in range(_SUM_CHUNKS)
+)
+
+# Mirrors operators/summarize.abstract_v2 exactly on the derived text:
+# tags = top-10 tokens (len > 1) by (tf desc, token asc); sentence
+# weight = sum of each DISTINCT matched tag's tf (integer sums — no
+# float summation-order ulps); keep the top req=2 by (weight desc,
+# index asc); restore doc order; join sentences + '|'.
+SQL_SUMMARIZE = f"""
+    WITH d2 AS (
+      SELECT doc_id, concat_ws(' . ', {_SUM_CHUNK_SQL}) AS text2
+      FROM documents
+    ),
+    sent AS (
+      SELECT doc_id,
+             unnest(string_split(text2, '.')) AS s,
+             unnest(generate_series(1, len(string_split(text2, '.')))) AS idx
+      FROM d2
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text2, ' ')) AS t FROM d2
+    ),
+    counts AS (
+      SELECT doc_id, t, count(*) AS c FROM tok WHERE length(t) > 1
+      GROUP BY doc_id, t
+    ),
+    tags AS (
+      SELECT doc_id, t, c FROM (
+        SELECT doc_id, t, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, t) AS rn
+        FROM counts
+      ) WHERE rn <= 10
+    ),
+    stok AS (
+      SELECT DISTINCT doc_id, idx, t FROM (
+        SELECT doc_id, idx, unnest(string_split(s, ' ')) AS t FROM sent
+      )
+    ),
+    swt AS (
+      SELECT st.doc_id, st.idx, sum(tg.c) AS wt
+      FROM stok st
+      JOIN tags tg ON tg.doc_id = st.doc_id AND tg.t = st.t
+      GROUP BY st.doc_id, st.idx
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.idx, s.s,
+             row_number() OVER (PARTITION BY s.doc_id
+               ORDER BY coalesce(w.wt, 0) DESC, s.idx) AS pri
+      FROM sent s
+      LEFT JOIN swt w ON w.doc_id = s.doc_id AND w.idx = s.idx
+    )
+    SELECT doc_id, string_agg(s, '|' ORDER BY idx) || '|' AS abstract
+    FROM ranked WHERE pri <= 2
+    GROUP BY doc_id
 """
 
 
