@@ -106,23 +106,31 @@ def featurize_docs(
     )
 
 
+def _tf_rows(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, word, tf) — from a `featurize_docs` frame (has `wc`
+    pre-counted in-kernel — preferred, occurrence explosion never
+    shuffles) or any frame with a raw `tokens` column."""
+    if "wc" in tokens_df.columns:
+        return tokens_df.select(
+            "doc_id", F.explode("wc").alias("e")
+        ).select(
+            "doc_id", F.col("e.word").alias("word"), F.col("e.tf").alias("tf")
+        )
+    toks = tokens_df.select(
+        "doc_id", F.explode("tokens").alias("word")
+    ).filter(F.length("word") > 1)
+    return toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+
+
 def doc_tags(tokens_df: DataFrame, k: int = TAG_NUM) -> DataFrame:
     """(doc_id, tags array): top-K by (tf desc, doc-freq asc, word asc).
 
     Distributed equivalent of KeywordExtractor.hpp:54-99's partial_sort
-    with integer ordering. Input may be a `featurize_docs` frame (has
-    `wc` pre-counted in-kernel — preferred, occurrence explosion never
-    shuffles) or any frame with a raw `tokens` column.
+    with integer ordering (the engine default — the reference's idf
+    dicts are absent from its repo; see doc_tags_tfidf for the float
+    path when an idf table exists).
     """
-    if "wc" in tokens_df.columns:
-        tf = tokens_df.select(
-            "doc_id", F.explode("wc").alias("e")
-        ).select("doc_id", F.col("e.word").alias("word"), F.col("e.tf").alias("tf"))
-    else:
-        toks = tokens_df.select(
-            "doc_id", F.explode("tokens").alias("word")
-        ).filter(F.length("word") > 1)
-        tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = _tf_rows(tokens_df)
     # tf rows are distinct per (doc_id, word), so doc-frequency is a
     # plain count per word — no dropDuplicates shuffle needed.
     df_counts = tf.groupBy("word").agg(F.count("*").alias("df"))
@@ -133,6 +141,54 @@ def doc_tags(tokens_df: DataFrame, k: int = TAG_NUM) -> DataFrame:
         tf.join(df_counts, "word")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.collect_list(F.struct("rn", "word")).alias("rw")
+    ).select(
+        "doc_id",
+        F.expr("transform(array_sort(rw), x -> x.word)").alias("tags"),
+    )
+
+
+def doc_tags_tfidf(
+    tokens_df: DataFrame,
+    idf_df: DataFrame,
+    k: int = TAG_NUM,
+    stopwords: list[str] | None = None,
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """(doc_id, tags array): top-K by FLOAT tf-share * idf with
+    avg-idf OOV fallback — the reference's actual
+    KeywordExtractor.hpp:54-99 ranking, for users who bring an idf
+    table (idf_df: word string, idf double; the reference ships its
+    dicts as large blobs absent from the repo, which is why the
+    integer ordering is the engine default).
+
+    Weight = (tf / total_doc_tf) * coalesce(idf[word], avg(idf)) with
+    stopword + 1-char drops, ties broken by word asc — expression
+    order matches the pure-Python kernel (functions/textfns.top_k_tags)
+    exactly, so the two rank identically bit-for-bit. idf is
+    broadcast by default (vocab-sized); pass broadcast_idf=False for a
+    corpus-scale idf table and let the optimizer shuffle-join it.
+    """
+    tf = _tf_rows(tokens_df)
+    if stopwords:
+        tf = tf.filter(~F.col("word").isin(*stopwords))
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("total"))
+    avg_idf = idf_df.agg(F.avg("idf").alias("avg_idf"))
+    idf = F.broadcast(idf_df) if broadcast_idf else idf_df
+    weighted = (
+        tf.join(totals, "doc_id")
+        .join(idf, "word", "left")
+        .crossJoin(F.broadcast(avg_idf))
+        .withColumn(
+            "weight",
+            F.col("tf") / F.col("total") * F.coalesce("idf", "avg_idf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("word"))
+    ranked = weighted.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
     )
     return ranked.groupBy("doc_id").agg(
         F.collect_list(F.struct("rn", "word")).alias("rw")
@@ -422,15 +478,30 @@ def cluster_documents(
     num_perm: int = 64,
     bands: int = 16,
     mode: str = "v2",
+    tag_ranking: str = "int",
+    idf: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end: docs(doc_id, text, [source, title, day_time]) ->
     news_category-shaped clusters. mode='v2' (default): categorize.cpp
     greedy stars at >= 0.85; mode='v1': chnsegmt top-1 pairs at > 0.75
-    with 10 tags (SURVEY.md J1/J2)."""
+    with 10 tags (SURVEY.md J1/J2).
+
+    tag_ranking='int' (default): (tf desc, df asc, word asc) integer
+    ordering; tag_ranking='tfidf' with an `idf` table (word, idf):
+    the reference's float tf-share * idf ranking
+    (KeywordExtractor.hpp:54-99) via doc_tags_tfidf — a user porting
+    v2 data with its idf dicts gets the reference's tag sets."""
     if mode == "v1":
         sim_bound, tag_num = 0.75, 10
     toks = featurize_docs(docs, num_perm=num_perm).persist()
-    tags = doc_tags(toks, tag_num)
+    if tag_ranking == "tfidf":
+        if idf is None:
+            raise ValueError("tag_ranking='tfidf' requires an idf table")
+        tags = doc_tags_tfidf(toks, idf, tag_num)
+    elif tag_ranking == "int":
+        tags = doc_tags(toks, tag_num)
+    else:
+        raise ValueError(f"unknown tag_ranking: {tag_ranking!r}")
     sigs = toks.select("doc_id", "sig")
     pairs = candidate_pairs(sigs, bands)
     if mode == "v1":

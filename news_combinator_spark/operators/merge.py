@@ -1,0 +1,147 @@
+"""MERGE INTO-equivalent upsert + snapshot table (S6/S9 follow-through).
+
+The reference has two conflict policies:
+
+- skip-if-exists (scrapy pipelines.py:19-23: the file sink checks
+  os.path.exists and returns — first writer wins);
+- MySQL ``'dup' => ['timestamp' => time()]`` (reconstruction/crawler/
+  crawler.php:143-190): INSERT ... ON DUPLICATE KEY UPDATE
+  timestamp=..., i.e. on key conflict the existing row is KEPT but its
+  timestamp column is refreshed.
+
+`merge_into` re-expresses both (plus full-row replace) as one
+DataFrame operator; `SnapshotTable` is the Iceberg stand-in that runs
+the read-merge-commit cycle against versioned parquet snapshots with
+an atomically-swapped pointer — on a cluster this maps 1:1 onto
+``MERGE INTO t USING s ON <keys> WHEN MATCHED ... WHEN NOT MATCHED
+INSERT *`` against a real Iceberg table, with the snapshot id giving
+exactly-once resumability.
+
+Scale notes: every policy is joins/anti-joins on the key columns —
+one shuffle each, broadcastable when the source batch is small
+(typical: a crawl round's new rows vs a huge target). No policy ever
+rewrites unmatched target rows' payloads; `update_ts` touches only the
+timestamp column via a left join, so wide target rows shuffle once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: str = "skip",
+    ts_col: str | None = None,
+    source_order: list | None = None,
+) -> DataFrame:
+    """Upsert `source` into `target` on `key_cols`.
+
+    when_matched:
+    - "skip":      keep the target row on conflict (first-writer-wins;
+                   pipelines.py:19-23). New keys are appended.
+    - "update":    the source row replaces the whole target row
+                   (ON DUPLICATE KEY UPDATE every field).
+    - "update_ts": keep the target row's fields but refresh `ts_col`
+                   from the source row — the literal crawler.php dup
+                   policy ('dup' => ['timestamp' => time()]).
+
+    `source_order` (optional sort columns) deduplicates a key-ambiguous
+    source deterministically (first row per key by that order wins),
+    mirroring the reference's sequential insert order; a key-unique
+    source passes through untouched.
+    """
+    if when_matched not in ("skip", "update", "update_ts"):
+        raise ValueError(f"unknown when_matched policy: {when_matched!r}")
+    if when_matched == "update_ts" and not ts_col:
+        raise ValueError("update_ts policy requires ts_col")
+    if source_order is not None:
+        w = Window.partitionBy(*key_cols).orderBy(*source_order)
+        source = (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+    source = source.select(*target.columns)
+
+    if when_matched == "skip":
+        new_rows = source.join(target.select(*key_cols), key_cols, "left_anti")
+        return target.unionByName(new_rows)
+
+    if when_matched == "update":
+        kept = target.join(source.select(*key_cols), key_cols, "left_anti")
+        return kept.unionByName(source)
+
+    # update_ts: left join target against (keys, ts) of the source —
+    # matched rows get the source timestamp, everything else unchanged;
+    # then append the genuinely new source rows.
+    src_ts = source.select(*key_cols, F.col(ts_col).alias("_src_ts"))
+    refreshed = (
+        target.join(src_ts, key_cols, "left")
+        .withColumn(ts_col, F.coalesce("_src_ts", ts_col))
+        .drop("_src_ts")
+        .select(*target.columns)
+    )
+    new_rows = source.join(target.select(*key_cols), key_cols, "left_anti")
+    return refreshed.unionByName(new_rows)
+
+
+class SnapshotTable:
+    """Versioned parquet table with an atomically-swapped latest
+    pointer — the sandbox stand-in for an Iceberg table's snapshot
+    chain. Each commit writes a new immutable ``v=N`` directory and
+    re-points ``_latest`` via os.replace (atomic on POSIX), so readers
+    never observe a half-written snapshot and any historical version
+    stays readable (time travel / resume-from-snapshot)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def latest_version(self) -> int:
+        ptr = os.path.join(self.path, "_latest")
+        if not os.path.exists(ptr):
+            return 0
+        with open(ptr) as f:
+            return json.load(f)["version"]
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+
+    def commit(self, df: DataFrame) -> int:
+        v = self.latest_version() + 1
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"v={v}")
+        )
+        tmp = os.path.join(self.path, "_latest.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, os.path.join(self.path, "_latest"))
+        return v
+
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "skip",
+        **kwargs,
+    ) -> int:
+        """MERGE INTO this table: read latest snapshot, merge, commit.
+        First commit just writes the source."""
+        current = self.read()
+        merged = (
+            source
+            if current is None
+            else merge_into(current, source, key_cols, when_matched, **kwargs)
+        )
+        return self.commit(merged)

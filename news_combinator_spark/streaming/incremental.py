@@ -109,21 +109,40 @@ def streaming_seen_filter(
     schema: str = "url string, host string, priority int",
     n_buckets: int = 64,
     query_name: str = "seen_filter",
+    state: str = "hash",
 ):
     """Stateful streaming URL-seen dedup: the frontier's C1 operator
     as a Structured Streaming stage (applyInPandasWithState).
 
-    Discovered URLs arrive as a stream; state is a set of xxhash64
-    url hashes per hash-bucket key (n_buckets keys spread state across
-    the cluster exactly like the frontier's salted partitioning; the
-    hash set — not the url strings — keeps per-key state 8 bytes/url).
-    Only first-ever-seen URLs are emitted, across micro-batches. At
+    Discovered URLs arrive as a stream; per hash-bucket key the state
+    is the seen set (n_buckets keys spread state across the cluster
+    exactly like the frontier's salted partitioning). Only
+    first-ever-seen URLs are emitted, across micro-batches. At
     10^10-URL scale the same operator runs with a state-store TTL and
     RocksDB state backend; here NoTimeout keeps state for the test's
     lifetime.
+
+    ``state`` picks the membership representation — an ACCEPTED
+    DEVIATION from the batch frontier, where the bloom is only a
+    prefilter backed by an exact anti-join:
+
+    - ``"hash"`` (default): 64-bit xxhash64 values, 8 bytes/url. A
+      hash collision permanently conflates two distinct URLs and the
+      later one is silently DROPPED (a false negative the batch path
+      cannot produce). Collision probability ~ n^2 / 2^65: negligible
+      below ~10^8 urls/bucket (n=10^8 -> ~3e-4), material at 10^10
+      unbucketed — size n_buckets so per-key n stays ~10^8, or use
+      exact mode.
+    - ``"exact"``: the url strings themselves — no false negatives,
+      exact parity with the batch frontier's seen semantics, at
+      ~len(url) bytes/url state cost.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if state not in ("hash", "exact"):
+        raise ValueError(f"state must be 'hash' or 'exact', got {state!r}")
+    exact = state == "exact"
 
     urls = (
         spark.readStream.format("parquet").schema(schema).load(input_dir)
@@ -131,26 +150,28 @@ def streaming_seen_filter(
         .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
     )
 
-    def _dedup(key, pdf_iter, state):
-        seen = set(state.get[0]) if state.exists else set()
+    def _dedup(key, pdf_iter, st):
+        seen = set(st.get[0]) if st.exists else set()
         rows = {"url": [], "host": [], "priority": []}
         for pdf in pdf_iter:
             for url, host, prio, h in zip(
                 pdf["url"], pdf["host"], pdf["priority"], pdf["url_hash"]
             ):
-                h = int(h)
-                if h not in seen:
-                    seen.add(h)
+                member = url if exact else int(h)
+                if member not in seen:
+                    seen.add(member)
                     rows["url"].append(url)
                     rows["host"].append(host)
                     rows["priority"].append(prio)
-        state.update((list(seen),))
+        st.update((list(seen),))
         yield pd.DataFrame(rows)
 
     out = urls.groupBy("bucket").applyInPandasWithState(
         _dedup,
         outputStructType="url string, host string, priority int",
-        stateStructType="seen array<long>",
+        stateStructType=(
+            "seen array<string>" if exact else "seen array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

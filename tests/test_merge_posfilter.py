@@ -1,0 +1,215 @@
+"""MERGE INTO upsert policies + snapshot table (S6/S9), POS-tag filter
+(F12), and the float tf-idf tag ranking path (A2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_combinator_spark.functions.posfilter import (
+    DEFAULT_ELMN_ATTRS,
+    doc_pos_tags,
+    passage_tags,
+    pos_tag,
+)
+from news_combinator_spark.functions.textfns import tokenize, top_k_tags
+from news_combinator_spark.operators.merge import SnapshotTable, merge_into
+
+
+# ---------------------------------------------------------------------------
+# merge_into policies
+# ---------------------------------------------------------------------------
+
+def _tables(spark):
+    target = spark.createDataFrame(
+        [("u1", "old-1", 100), ("u2", "old-2", 200)],
+        "url string, payload string, ts long",
+    )
+    source = spark.createDataFrame(
+        [("u1", "new-1", 900), ("u3", "new-3", 300)],
+        "url string, payload string, ts long",
+    )
+    return target, source
+
+
+def test_merge_skip_keeps_first_writer(spark):
+    target, source = _tables(spark)
+    out = {r["url"]: (r["payload"], r["ts"])
+           for r in merge_into(target, source, ["url"], "skip").collect()}
+    # pipelines.py:19-23: existing row untouched, new key appended
+    assert out == {"u1": ("old-1", 100), "u2": ("old-2", 200),
+                   "u3": ("new-3", 300)}
+
+
+def test_merge_update_replaces_row(spark):
+    target, source = _tables(spark)
+    out = {r["url"]: (r["payload"], r["ts"])
+           for r in merge_into(target, source, ["url"], "update").collect()}
+    assert out == {"u1": ("new-1", 900), "u2": ("old-2", 200),
+                   "u3": ("new-3", 300)}
+
+
+def test_merge_update_ts_refreshes_timestamp_only(spark):
+    """The crawler.php:143-190 dup policy: on key conflict the row is
+    kept but its timestamp is refreshed."""
+    target, source = _tables(spark)
+    out = {r["url"]: (r["payload"], r["ts"])
+           for r in merge_into(
+               target, source, ["url"], "update_ts", ts_col="ts"
+           ).collect()}
+    assert out == {"u1": ("old-1", 900),  # payload kept, ts refreshed
+                   "u2": ("old-2", 200),
+                   "u3": ("new-3", 300)}
+
+
+def test_merge_source_dedup_order(spark):
+    target = spark.createDataFrame(
+        [("u9", "t", 1)], "url string, payload string, ts long"
+    )
+    source = spark.createDataFrame(
+        [("u1", "b", 2), ("u1", "a", 1)],
+        "url string, payload string, ts long",
+    )
+    out = merge_into(
+        target, source, ["url"], "skip", source_order=[F.asc("ts")]
+    ).collect()
+    got = {r["url"]: r["payload"] for r in out}
+    assert got == {"u9": "t", "u1": "a"}  # first by ts wins
+
+
+def test_merge_rejects_bad_policy(spark):
+    target, source = _tables(spark)
+    with pytest.raises(ValueError):
+        merge_into(target, source, ["url"], "nope")
+    with pytest.raises(ValueError):
+        merge_into(target, source, ["url"], "update_ts")  # no ts_col
+
+
+def test_snapshot_table_commit_merge_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert t.read() is None
+    s1 = spark.createDataFrame(
+        [("u1", "a", 1)], "url string, payload string, ts long"
+    )
+    v1 = t.merge(s1, ["url"])
+    s2 = spark.createDataFrame(
+        [("u1", "CHANGED", 9), ("u2", "b", 2)],
+        "url string, payload string, ts long",
+    )
+    v2 = t.merge(s2, ["url"], when_matched="update_ts", ts_col="ts")
+    assert (v1, v2) == (1, 2)
+    latest = {r["url"]: (r["payload"], r["ts"]) for r in t.read().collect()}
+    assert latest == {"u1": ("a", 9), "u2": ("b", 2)}
+    # time travel: the first snapshot is still intact
+    old = {r["url"]: r["ts"] for r in t.read(version=1).collect()}
+    assert old == {"u1": 1}
+
+
+# ---------------------------------------------------------------------------
+# POS-tag filter (F12)
+# ---------------------------------------------------------------------------
+
+def test_passage_tags_filters_by_flag_class():
+    tagged = [("economy", "n"), ("runs", "v"), ("42", "m"), (",", "w"),
+              ("he", "r"), ("economy", "n")]
+    out = passage_tags(tagged)
+    # numerals / punctuation / pronouns filtered; economy counted twice
+    assert out == ["economy", "runs"]
+
+
+def test_passage_tags_exact_flag_beats_wildcard():
+    # 'vshi' -> 0 exactly even though 'v*' -> 1 (elmnattrdict.txt)
+    assert DEFAULT_ELMN_ATTRS["v*"] == 1 and DEFAULT_ELMN_ATTRS["vshi"] == 0
+    out = passage_tags([("is", "vshi"), ("goes", "v")])
+    assert out == ["goes"]
+
+
+def test_passage_tags_unseen_flag_counted():
+    # reference warns and counts flags absent from the dict
+    assert passage_tags([("weird", "Z9")]) == ["weird"]
+
+
+def test_passage_tags_late_admission():
+    """A word first seen with a filtered flag is re-evaluated on later
+    occurrences (reference loop checks dict membership first)."""
+    tagged = [("run", "m"), ("run", "v"), ("run", "v")]
+    assert passage_tags(tagged) == ["run"]
+
+
+def test_passage_tags_keys_factor_truncation():
+    tagged = [("a1", "n"), ("a1", "n"), ("a1", "n"),
+              ("b2", "n"), ("b2", "n"), ("c3", "n"), ("d4", "n")]
+    # 4 distinct -> round(4*0.5)=2 kept, by (count desc, word asc)
+    assert passage_tags(tagged, keys_factor=0.5) == ["a1", "b2"]
+    # max(1, ...) floor
+    assert passage_tags(tagged, keys_factor=0.01) == ["a1"]
+
+
+def test_doc_pos_tags_spark(spark):
+    docs = spark.createDataFrame(
+        [(1, "economy grows 42 percent he said economy"),
+         (2, "3 1 2 , .")],  # all filtered -> empty tag list
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["tags"]) for r in doc_pos_tags(docs).collect()}
+    assert out[1][0] == "economy"
+    assert "42" not in out[1] and "he" not in out[1]
+    assert out[2] == []
+
+
+def test_pos_tag_heuristic_deterministic():
+    toks = tokenize("He ran 42 miles , fast")
+    assert pos_tag(toks) == pos_tag(toks)
+    flags = dict(pos_tag(toks))
+    assert flags["42"] == "m" and flags[","] == "w" and flags["He"] == "r"
+
+
+# ---------------------------------------------------------------------------
+# Float tf-idf tag ranking (A2)
+# ---------------------------------------------------------------------------
+
+def test_doc_tags_tfidf_matches_kernel(spark):
+    from news_combinator_spark.operators.clustering import (
+        doc_tags_tfidf,
+        featurize_docs,
+    )
+
+    texts = [
+        "alpha alpha beta gamma gamma gamma delta",
+        "beta beta beta alpha zz yy xx ww vv",
+        "gamma delta delta epsilon epsilon zeta",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idf = {"alpha": 0.4, "beta": 2.0, "gamma": 1.1, "delta": 3.0}
+    idf_df = spark.createDataFrame(
+        list(idf.items()), "word string, idf double"
+    )
+    toks = featurize_docs(docs)
+    got = {
+        r["doc_id"]: list(r["tags"])
+        for r in doc_tags_tfidf(toks, idf_df, k=3).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = top_k_tags(tokenize(t), idf, k=3)
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_cluster_documents_tfidf_mode(spark):
+    from news_combinator_spark.operators.clustering import cluster_documents
+
+    rows = [
+        (0, "market rally tech stocks surge on earnings beat", "s0"),
+        (1, "market rally tech stocks surge on earnings beat", "s1"),
+        (2, "completely different story about weather and rain", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    idf_df = spark.createDataFrame(
+        [("market", 1.0), ("rally", 2.0), ("weather", 3.0)],
+        "word string, idf double",
+    )
+    out = cluster_documents(
+        spark, docs, tag_ranking="tfidf", idf=idf_df
+    ).collect()
+    assert len(out) == 1 and list(out[0]["member_ids"]) == [0, 1]
+    with pytest.raises(ValueError):
+        cluster_documents(spark, docs, tag_ranking="tfidf")  # no idf

@@ -127,6 +127,35 @@ def test_structured_streaming_windowed_counts(spark):
         q.stop()
 
 
+def test_streaming_seen_filter_exact_mode(spark, tmp_path):
+    """state='exact' stores urls, not 64-bit hashes: no collision can
+    drop a never-seen URL (parity with the batch frontier's exact
+    anti-join semantics)."""
+    from news_combinator_spark.streaming.incremental import (
+        streaming_seen_filter,
+    )
+
+    in_dir = str(tmp_path / "disc2")
+    schema = "url string, host string, priority int"
+    spark.createDataFrame(
+        [("http://x.test/1", "x.test", 1),
+         ("http://x.test/2", "x.test", 2),
+         ("http://x.test/1", "x.test", 1)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_seen_filter(
+        spark, in_dir, query_name="t_seen_exact", state="exact"
+    )
+    try:
+        q.processAllAvailable()
+        urls = [r["url"] for r in spark.sql("SELECT url FROM t_seen_exact").collect()]
+        assert sorted(urls) == ["http://x.test/1", "http://x.test/2"]
+    finally:
+        q.stop()
+    with pytest.raises(ValueError):
+        streaming_seen_filter(spark, in_dir, state="bogus")
+
+
 def test_streaming_stateful_seen_filter(spark, tmp_path):
     """C1 as a stateful streaming op: URLs seen in an earlier
     micro-batch must not be re-emitted by a later one."""
