@@ -68,6 +68,12 @@ SQL_BENCH_QUERIES = [
     "front_page_ranking",
     "index_daterange",
     "group_by_day",
+    # added round 2 (new keys — per-query comparisons vs BENCH_r01
+    # hold; the suite total is not comparable across rounds)
+    "comments_sort",
+    "summarize",
+    "merge_upsert",
+    "pos_tags",
 ]
 
 

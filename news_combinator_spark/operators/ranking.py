@@ -28,6 +28,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bounded_part_key() -> Column:
+    """Non-foldable constant partition key for windows whose frame is
+    cardinality-BOUNDED by construction (a LIMIT prefix, a per-group
+    counts frame, a centroid table) rather than data-sized.
+
+    Semantically identical to no partitioning — every row maps to one
+    reducer — but the physical plan becomes a hashpartitioning
+    exchange with a non-empty window spec instead of ``Exchange
+    SinglePartition`` + the ``WindowExec: No Partition Defined``
+    warning, which this codebase reserves for genuine data-sized
+    coalesces (the 100x-scale killer class; see test_plan_audit).
+    A foldable ``F.lit(0)`` does NOT work: Spark 4's
+    EliminateWindowPartitions rule folds constant partition keys back
+    to the empty spec. ``spark_partition_id()`` is non-deterministic
+    to Catalyst, so ``spark_partition_id() * 0`` survives while still
+    evaluating to 0 for every row."""
+    return F.spark_partition_id() * F.lit(0)
+
+
 def partitioned_global_rank(
     df: DataFrame,
     part_cols: list[str],
@@ -50,8 +69,11 @@ def partitioned_global_rank(
     w_local = Window.partitionBy(*part_cols).orderBy(*order_cols)
     ranked = df.withColumn("_lrn", F.row_number().over(w_local))
     counts = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy(*part_order).rowsBetween(
-        Window.unboundedPreceding, -1
+    # frame bounded by group-key cardinality (one row per group)
+    w_off = (
+        Window.partitionBy(bounded_part_key())
+        .orderBy(*part_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
@@ -81,7 +103,8 @@ def ranked_prefix(
     of input size — the right plan for pagination (page*size rows) and
     top-k-with-rank outputs."""
     prefix = df.orderBy(*order_cols).limit(limit)
-    w = Window.orderBy(*order_cols)
+    # frame bounded by `limit`
+    w = Window.partitionBy(bounded_part_key()).orderBy(*order_cols)
     return prefix.withColumn(
         out_col, F.row_number().over(w).cast(cast_to)
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranking import bounded_part_key
+
 
 def _norm_col(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -104,8 +106,12 @@ def assign_cells(
             F.col(vec_col).alias("centroid"),
         )
         .withColumn(
+            # frame bounded by n_cells (the LIMIT above)
             "cell",
-            F.row_number().over(Window.orderBy("cell_src")) - 1,
+            F.row_number().over(
+                Window.partitionBy(bounded_part_key()).orderBy("cell_src")
+            )
+            - 1,
         )
         .select("cell", "centroid")
         .withColumn("centroid_norm", _norm_col(F.col("centroid")))

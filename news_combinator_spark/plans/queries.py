@@ -31,7 +31,9 @@ from ..functions.extract import links_udf, markers_udf, passage_udf, title_udf
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators.clustering import cluster_documents
+from ..functions.posfilter import _FUNCTION_WORDS, _PRONOUNS, doc_pos_tags
 from ..operators.frontier import crawl
+from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
 from ..operators.ranking import partitioned_global_rank, ranked_prefix
 from ..operators.summarize import add_abstract_column
@@ -866,6 +868,82 @@ SQL_SUMMARIZE = f"""
 """
 
 
+def q_merge_upsert(spark, sf_dir):
+    """S9: MERGE INTO with the crawler.php:143-190 dup policy
+    (update_ts): target = even docs, source = every third doc with a
+    refreshed timestamp — matched rows keep their fields but take the
+    source ts, unmatched targets pass through, new keys insert."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", (F.lit(100) + F.col("doc_id") % 14).alias("ts")
+    )
+    source = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.lit("new-"), F.col("source")).alias("source"),
+        (F.lit(900) + F.col("doc_id") % 7).alias("ts"),
+    )
+    return merge_into(target, source, ["doc_id"], "update_ts", ts_col="ts")
+
+
+SQL_MERGE_UPSERT = """
+    WITH t AS (
+      SELECT doc_id, source, 100 + doc_id % 14 AS ts
+      FROM documents WHERE doc_id % 2 = 0
+    ), s AS (
+      SELECT doc_id, 'new-' || source AS source, 900 + doc_id % 7 AS ts
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT t.doc_id, t.source, coalesce(s.ts, t.ts) AS ts
+    FROM t LEFT JOIN s USING (doc_id)
+    UNION ALL
+    SELECT doc_id, source, ts FROM s
+    WHERE doc_id NOT IN (SELECT doc_id FROM t)
+"""
+
+
+def _sql_word_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def q_pos_tags(spark, sf_dir):
+    """F12: POS-filtered tag list per doc (GetPassageTags attr-dict
+    semantics over the deterministic heuristic tagger; the attr dict
+    drops numerals m*, punctuation w*, pronouns r*, particles u*)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_pos_tags(docs).select(
+        "doc_id", F.concat_ws(",", "tags").alias("tags_csv")
+    )
+
+
+# mirrors functions/posfilter.pos_tag + DEFAULT_ELMN_ATTRS on this
+# corpus: the only ADMITTED flag class is 'n' (not digits, not
+# punctuation, not a pronoun, not a function word); ranking is
+# (count desc, word asc), keys_factor=1 keeps all
+SQL_POS_TAGS = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), kept AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM tok
+      WHERE t <> ''
+        AND NOT regexp_matches(t, '^[0-9]+$')
+        AND NOT regexp_matches(t, '^[^0-9A-Za-z_]+$')
+        AND lower(t) NOT IN ({_sql_word_list(_PRONOUNS)})
+        AND lower(t) NOT IN ({_sql_word_list(_FUNCTION_WORDS)})
+      GROUP BY doc_id, t
+    ), ranked AS (
+      SELECT doc_id, t,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, t) AS rn
+      FROM kept
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(r.t, ',' ORDER BY r.rn), '') AS tags_csv
+    FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
 # ===========================================================================
 # Embedding family
 # ===========================================================================
@@ -1046,6 +1124,8 @@ QUERIES = {
     "dedup_first": (q_dedup_first, SQL_DEDUP_FIRST),
     "ngram_overlap": (q_ngram_overlap, SQL_NGRAM_OVERLAP),
     "summarize": (q_summarize, SQL_SUMMARIZE),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "pos_tags": (q_pos_tags, SQL_POS_TAGS),
     # embeddings
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

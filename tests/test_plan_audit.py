@@ -208,7 +208,8 @@ _LAZY_QUERIES = [
     "top_revenue_customers", "order_priority", "running_total",
     "sessionize", "event_type_pivot", "distinct_users", "lang_id",
     "quality_score", "token_count", "fingerprint", "dedup_stats",
-    "dedup_first", "ngram_overlap", "summarize", "ann_topk",
+    "dedup_first", "ngram_overlap", "summarize", "merge_upsert",
+    "pos_tags", "ann_topk",
     "label_centroids", "minhash_near_dups", "simhash_near_dups",
     "embedding_near_dups", "multimodal_features",
 ]
