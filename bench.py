@@ -74,6 +74,8 @@ SQL_BENCH_QUERIES = [
     "summarize",
     "merge_upsert",
     "pos_tags",
+    "repetition_score",
+    "sentence_dedup",
 ]
 
 

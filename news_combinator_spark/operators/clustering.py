@@ -270,8 +270,20 @@ def verify_pairs(
 ) -> DataFrame:
     """Exact directional seed-vocab cosine for candidate pairs; keeps
     edges with sim >= bound. Seed = lower doc_id (scan order), exactly
-    the pair the reference's j>i loop would inspect."""
-    a_side = tokens_df.select(
+    the pair the reference's j>i loop would inspect.
+
+    Shuffle shape: the doc-sized token/tag frames are first semi-join
+    restricted to the doc ids that actually appear in a candidate
+    pair — post-LSH candidates are a small minority of the corpus, so
+    the two per-side equi-joins below shuffle candidate-sized frames
+    instead of moving the full (wide) token table twice."""
+    ids_in_pairs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    toks = tokens_df.join(ids_in_pairs, "doc_id", "semi")
+    a_side = toks.select(
         F.col("doc_id").alias("a"), F.col("tokens").alias("a_tokens")
     ).join(
         tags_df.select(
@@ -279,7 +291,7 @@ def verify_pairs(
         ),
         "a",
     )
-    b_side = tokens_df.select(
+    b_side = toks.select(
         F.col("doc_id").alias("b"), F.col("tokens").alias("b_tokens")
     )
     joined = pairs.join(a_side, "a").join(b_side, "b")

@@ -944,6 +944,156 @@ SQL_POS_TAGS = f"""
 """
 
 
+def q_sentence_dedup(spark, sf_dir):
+    """Corpus-wide sentence-level exact dedup (CCNet-style): split
+    each doc into sentences, keep only the FIRST occurrence of every
+    distinct sentence — first = lowest (doc_id, position) in scan
+    order — and reassemble each doc from its surviving sentences in
+    original order. Sentences are derived exactly as in q_summarize
+    (fixed-width chunks joined by ' . ': the test corpus carries no
+    natural delimiters), so exact-dup documents lose all their
+    sentences to the earlier copy and partial overlaps shrink.
+
+    Scale shape: first-occurrence is groupBy(sentence).min(struct(
+    doc_id, pos)) — a partial-aggregating shuffle, so a boilerplate
+    sentence appearing 10^8 times combines map-side instead of
+    flooding one window reducer (the skew-safe alternative to
+    row_number over partitionBy(sentence)). Reassembly is one
+    groupBy(doc_id) with an ordered array_sort concat."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [
+        F.substring("text", 1 + _SUM_WIDTH * i, _SUM_WIDTH)
+        for i in range(_SUM_CHUNKS)
+    ]
+    sentences = docs.select(
+        "doc_id", F.posexplode(F.array(*chunks)).alias("pos", "sent")
+    ).filter(F.col("sent") != "")
+    first = (
+        sentences.groupBy("sent")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.pos").alias("pos"),
+            "sent",
+        )
+    )
+    agg = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos,"
+            " sent))), x -> x.sent), ' . ')"
+        ).alias("kept_text"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+_SDD_SENT_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS pos, substr(text, {1 + _SUM_WIDTH * i},"
+    f" {_SUM_WIDTH}) AS sent FROM documents"
+    for i in range(_SUM_CHUNKS)
+)
+
+# same first-occurrence semantics via a window (the oracle need not
+# scale); empty chunks are dropped on both sides before dedup
+SQL_SENTENCE_DEDUP = f"""
+    WITH s AS ({_SDD_SENT_SQL}),
+    ranked AS (
+      SELECT doc_id, pos, sent,
+             row_number() OVER (PARTITION BY sent
+                                ORDER BY doc_id, pos) AS rn
+      FROM s WHERE sent <> ''
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(sent, ' . ' ORDER BY pos) AS kept_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.kept_text, '') AS kept_text,
+           coalesce(agg.n_kept, 0) AS n_kept
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_repetition_score(spark, sf_dir):
+    """Repetition-based quality scoring (C4/Gopher-style training-data
+    filters): duplicate-word fraction (1 - distinct/total) and
+    top-bigram fraction (count of the most frequent word bigram over
+    all bigrams). All JVM expressions; the only shuffles are two
+    map-side-combined groupBys keyed by (doc_id[, bigram]) plus a
+    doc_id join back — no global stage, scales with the corpus."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    base = docs.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        # bigram i = ws[i] + ' ' + ws[i+1] (0-based [] indexing; the
+        # slice drops the last word so i+1 stays in range)
+        F.expr(
+            "transform(slice(ws, 1, size(ws) - 1),"
+            " (x, i) -> concat(x, ' ', ws[i + 1]))"
+        ).alias("bgs"),
+    )
+    cnt = (
+        base.select("doc_id", F.explode("bgs").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.groupBy("doc_id").agg(F.max("c").alias("top_c"))
+    # +1e-9 shifts exact .00005 grid points off the rounding boundary
+    # identically in both engines (see q_quality_score)
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_words") + 1e-9, 4
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                F.col("n_words") > 1,
+                F.col("top_c") / (F.col("n_words") - 1),
+            ).otherwise(F.lit(0.0))
+            + 1e-9,
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_SCORE = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct, ws
+      FROM w
+    ), idx AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      FROM w WHERE len(ws) > 1
+    ), cnt AS (
+      SELECT doc_id,
+             list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS b,
+             count(*) AS c
+      FROM idx GROUP BY doc_id, b
+    ), top AS (
+      SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           base.n_words,
+           round(1 - base.n_distinct / CAST(base.n_words AS DOUBLE)
+                 + 1e-9, 4) AS dup_word_frac,
+           round(CASE WHEN base.n_words > 1
+                      THEN top.top_c / (base.n_words - 1.0)
+                      ELSE 0.0 END + 1e-9, 4) AS top_bigram_frac
+    FROM base LEFT JOIN top USING (doc_id)
+"""
+
+
 # ===========================================================================
 # Embedding family
 # ===========================================================================
@@ -1126,6 +1276,8 @@ QUERIES = {
     "summarize": (q_summarize, SQL_SUMMARIZE),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "pos_tags": (q_pos_tags, SQL_POS_TAGS),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
     # embeddings
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -144,7 +144,14 @@ def test_hot_queries_whole_stage_codegen(spark, qname):
 
 
 @pytest.mark.parametrize(
-    "qname", ["pricing_summary", "lang_id", "quality_score", "dedup_first"]
+    "qname",
+    [
+        "pricing_summary",
+        "lang_id",
+        "quality_score",
+        "repetition_score",
+        "dedup_first",
+    ],
 )
 def test_no_python_udf_in_jvm_expressible_queries(spark, qname):
     """These are fully expressible with built-ins; a BatchEvalPython /
@@ -209,7 +216,7 @@ _LAZY_QUERIES = [
     "sessionize", "event_type_pivot", "distinct_users", "lang_id",
     "quality_score", "token_count", "fingerprint", "dedup_stats",
     "dedup_first", "ngram_overlap", "summarize", "merge_upsert",
-    "pos_tags", "ann_topk",
+    "pos_tags", "repetition_score", "sentence_dedup", "ann_topk",
     "label_centroids", "minhash_near_dups", "simhash_near_dups",
     "embedding_near_dups", "multimodal_features",
 ]
