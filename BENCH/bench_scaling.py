@@ -43,21 +43,26 @@ import bench  # noqa: E402
 from news_combinator_spark.session import get_spark  # noqa: E402
 
 
-def run_cell(cores: int, sf_dir: str) -> dict[str, float]:
+def run_cell(
+    cores: int, sf_dir: str, phases: set[str]
+) -> dict[str, float]:
     spark = get_spark(app_name=f"nc-scaling-{cores}", cores=cores)
+    out: dict[str, float] = {}
     try:
         bench.warmup(spark)
-        dp = min(
-            bench.bench_round_dataplane(spark, sf_dir)[0],
-            bench.bench_round_dataplane(spark, sf_dir)[0],
-        )
-        kern = min(
-            bench.bench_kernel_sketch(spark)[0],
-            bench.bench_kernel_sketch(spark)[0],
-        )
+        if "dataplane" in phases:
+            out["round_dataplane"] = min(
+                bench.bench_round_dataplane(spark, sf_dir)[0],
+                bench.bench_round_dataplane(spark, sf_dir)[0],
+            )
+        if "kernel" in phases:
+            out["kernel_sketch"] = min(
+                bench.bench_kernel_sketch(spark)[0],
+                bench.bench_kernel_sketch(spark)[0],
+            )
     finally:
         spark.stop()
-    return {"round_dataplane": dp, "kernel_sketch": kern}
+    return out
 
 
 def main() -> None:
@@ -66,6 +71,9 @@ def main() -> None:
         int(c) for c in os.environ.get("SCALE_CORES", "2,8").split(",")
     ]
     reps = int(os.environ.get("SCALE_REPS", "2"))
+    phases = set(
+        os.environ.get("SCALE_PHASES", "dataplane,kernel").split(",")
+    )
     assert len(cores) == 2, "protocol compares exactly two core counts"
 
     # A/B/B/A (palindrome) ordering cancels linear contention drift
@@ -77,7 +85,7 @@ def main() -> None:
     timeline = []
     for c in order:
         t0 = time.time()
-        res = run_cell(c, sf_dir)
+        res = run_cell(c, sf_dir, phases)
         timeline.append(
             {"cores": c, "at": round(t0, 1), **{k: round(v, 2) for k, v in res.items()}}
         )

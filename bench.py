@@ -157,17 +157,28 @@ def bench_round_dataplane(spark, sf_dir: str) -> tuple[float, int]:
     sched = schedule_per_host(frontier, budgets, salt_buckets=8)
     taken = sched.filter("taken").drop("taken")
     fetched = taken.hint("shuffle_hash").join(web.select("url", "html"), "url")
-    out = (
+    # Narrow-shuffle plan for the same (url, text, link) output: the
+    # link dedup + seen anti-join move only (url, link) rows — the
+    # extracted text would otherwise ride the link-keyed shuffle once
+    # PER LINK (~10x the page's text bytes; measured to dominate phase
+    # shuffle volume). Text is instead computed once per surviving
+    # page from the url-partitioned web (semi join aligns with its
+    # partitioning) and attached by a single url-keyed join, so each
+    # page's text crosses the wire exactly once — the same discipline
+    # operators/frontier.py applies on the real crawl path.
+    links = (
         fetched.select(
-            "url",
-            passage_udf(F.col("html")).alias("text"),
-            F.explode(links_udf(F.col("html"))).alias("raw_url"),
+            "url", F.explode(links_udf(F.col("html"))).alias("raw_url")
         )
-        .select("url", "text", canonicalize_udf(F.col("raw_url")).alias("link"))
+        .select("url", canonicalize_udf(F.col("raw_url")).alias("link"))
         .filter(F.parse_url("link", F.lit("HOST")).endswith(".test"))
         .dropDuplicates(["link"])
         .join(frontier.select(F.col("url").alias("link")), "link", "left_anti")
     )
+    texts = web.join(
+        links.select("url").distinct(), "url", "semi"
+    ).select("url", passage_udf(F.col("html")).alias("text"))
+    out = links.join(texts, "url").select("url", "text", "link")
     _materialize(out)
     dt = time.time() - t0
     web.unpersist()
