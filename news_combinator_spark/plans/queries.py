@@ -1094,6 +1094,145 @@ SQL_REPETITION_SCORE = """
 """
 
 
+# PII patterns shared by the Spark query and the DuckDB oracle. Kept to
+# the Java-regex/RE2 common subset (no lookaround, no backrefs) so both
+# engines match identical spans.
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+# The driver corpus is a digit-free word salad, so (exactly like
+# q_summarize's derived sentences) both engines deterministically
+# append PII spans derived from doc_id before detecting them: docs
+# divisible by 3 gain an email, by 4 a phone, by 5 an IPv4. The three
+# patterns are mutually non-overlapping on this text (emails carry no
+# dashes, phones no dots, IPs no letters), so counts and redaction are
+# order-independent.
+_PII_INJECT_SQL = """concat(text,
+  CASE WHEN doc_id % 3 = 0
+       THEN concat(' contact user', doc_id, '@mail', doc_id % 7, '.org')
+       ELSE '' END,
+  CASE WHEN doc_id % 4 = 0
+       THEN concat(' call ', 100 + doc_id % 900, '-555-',
+                   1000 + doc_id % 9000)
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat(' from ', doc_id % 256, '.', (doc_id * 7) % 256,
+                   '.0.1')
+       ELSE '' END)"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (training-data scrubbing pass):
+    count emails / phone numbers / IPv4 addresses per document and
+    emit the text with each span replaced by a typed placeholder.
+    Pure per-row JVM regex expressions (regexp_count /
+    regexp_replace) — zero shuffles, embarrassingly parallel, the
+    shape a 100 TB scrub needs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SQL).alias("text2")
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text2", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("text2", F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count("text2", F.lit(_PII_IP)).cast("long").alias("n_ip"),
+        red.alias("redacted"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+    WITH d2 AS (
+      SELECT doc_id, {_PII_INJECT_SQL} AS text2 FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text2, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text2, '{_PII_IP}')) AS BIGINT)
+             AS n_ip,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS redacted
+    FROM d2
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx-C / PaLM style): docs
+    with doc_id % 20 == 0 form the held-out eval set; every training
+    doc sharing any word 4-gram with any eval doc is flagged with its
+    distinct-hit count. Eval n-gram sets are tiny relative to the
+    corpus (benchmarks, not the crawl), so the distinct eval grams are
+    BROADCAST and the training side streams through explode ->
+    broadcast-hash-semi-join -> per-doc groupBy: the only shuffle is
+    the final map-side-combined count, and the full training n-gram
+    set is never materialized."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = docs.filter(F.size("ws") >= 4).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 3),"
+                " (x, i) -> concat_ws(' ', slice(ws, i + 1, 4)))"
+            )
+        ).alias("g"),
+    )
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+    train = docs.select("doc_id").filter(~is_eval)
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), idx AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i
+      FROM w WHERE len(ws) >= 4
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS g
+      FROM idx
+    ), eval AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT grams.doc_id, count(DISTINCT grams.g) AS n_hits
+      FROM grams JOIN eval USING (g)
+      WHERE grams.doc_id % 20 <> 0
+      GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+"""
+
+
 # ===========================================================================
 # Embedding family
 # ===========================================================================
@@ -1278,6 +1417,8 @@ QUERIES = {
     "pos_tags": (q_pos_tags, SQL_POS_TAGS),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # embeddings
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
