@@ -76,6 +76,10 @@ SQL_BENCH_QUERIES = [
     "pos_tags",
     "repetition_score",
     "sentence_dedup",
+    "pii_scrub",
+    "decontaminate",
+    "corpus_stats",
+    "filter_funnel",
 ]
 
 

@@ -1170,6 +1170,20 @@ SQL_PII_SCRUB = f"""
 """
 
 
+def _word_4grams(docs):
+    """doc_id -> exploded word 4-grams over a pre-split `ws` column.
+    Shared by decontaminate and filter_funnel."""
+    return docs.filter(F.size("ws") >= 4).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 3),"
+                " (x, i) -> concat_ws(' ', slice(ws, i + 1, 4)))"
+            )
+        ).alias("g"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appx-C / PaLM style): docs
     with doc_id % 20 == 0 form the held-out eval set; every training
@@ -1183,15 +1197,7 @@ def q_decontaminate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
-    grams = docs.filter(F.size("ws") >= 4).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 3),"
-                " (x, i) -> concat_ws(' ', slice(ws, i + 1, 4)))"
-            )
-        ).alias("g"),
-    )
+    grams = _word_4grams(docs)
     is_eval = F.col("doc_id") % 20 == 0
     eval_grams = grams.filter(is_eval).select("g").distinct()
     hits = (
@@ -1206,6 +1212,129 @@ def q_decontaminate(spark, sf_dir):
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus profiling (curation dashboards / sampling
+    weights): doc counts, total and mean tokens, and exact linearly
+    interpolated p50/p90/p99 token counts. percentile() holds
+    O(distinct values) aggregation state per group and token counts
+    are small bounded ints, so the exact form is scale-safe here; for
+    unbounded value domains swap in approx_percentile — same plan
+    shape, one map-side-combined shuffle on lang."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("int").alias("nt")
+    )
+
+    def pct(p):
+        return F.round(F.expr(f"percentile(nt, {p})") + 1e-9, 4)
+
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("nt") + 1e-9, 4).alias("mean_tokens"),
+        pct(0.5).alias("p50_tokens"),
+        pct(0.9).alias("p90_tokens"),
+        pct(0.99).alias("p99_tokens"),
+    )
+
+
+SQL_CORPUS_STATS = """
+    WITH s AS (
+      SELECT lang, cast(len(string_split(text, ' ')) as int) AS nt
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(avg(nt) + 1e-9, 4) AS mean_tokens,
+           round(quantile_cont(nt, 0.5) + 1e-9, 4) AS p50_tokens,
+           round(quantile_cont(nt, 0.9) + 1e-9, 4) AS p90_tokens,
+           round(quantile_cont(nt, 0.99) + 1e-9, 4) AS p99_tokens
+    FROM s GROUP BY lang
+"""
+
+
+def q_filter_funnel(spark, sf_dir):
+    """End-to-end curation funnel over the training slice (doc_id %
+    20 != 0; the eval slice is held out for decontamination): per-doc
+    pass/fail flags for language (metadata lang == 'en' — the
+    classifier path is q_lang_id composed upstream; its prediction is
+    degenerate on this all-English-vocab corpus), length (>= 25
+    tokens), repetition (dup-word fraction <= 0.6) and
+    decontamination (no word 4-gram shared with the eval slice), plus
+    the keep conjunction. The three per-row flags are one narrow
+    projection pass; the only shuffle is the decontamination hit
+    aggregation (broadcast semi-join + map-side-combined groupBy)
+    joined back on doc_id. Comparisons are on identical IEEE double
+    ops in both engines, so the flag boundaries cannot drift."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    is_eval = F.col("doc_id") % 20 == 0
+    grams = _word_4grams(docs)
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nt = F.size("ws")
+    flags = docs.filter(~is_eval).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("pass_lang"),
+        (nt >= 25).cast("int").alias("pass_len"),
+        ((F.lit(1.0) - F.size(F.array_distinct("ws")) / nt) <= 0.6)
+        .cast("int")
+        .alias("pass_repetition"),
+    )
+    return (
+        flags.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pass_lang",
+            "pass_len",
+            "pass_repetition",
+            F.col("n_hits").isNull().cast("int").alias("pass_decontam"),
+        )
+        .withColumn(
+            "keep",
+            F.col("pass_lang")
+            * F.col("pass_len")
+            * F.col("pass_repetition")
+            * F.col("pass_decontam"),
+        )
+    )
+
+
+SQL_FILTER_FUNNEL = f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 4)
+    ), eval AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+    ), hits AS (
+      SELECT grams.doc_id, count(*) AS n_hits
+      FROM grams JOIN eval USING (g)
+      WHERE grams.doc_id % 20 <> 0 GROUP BY grams.doc_id
+    ), flags AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INTEGER) AS pass_lang,
+             CAST(len(ws) >= 25 AS INTEGER) AS pass_len,
+             CAST(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+                  <= 0.6 AS INTEGER) AS pass_repetition
+      FROM w WHERE doc_id % 20 <> 0
+    )
+    SELECT f.doc_id, f.pass_lang, f.pass_len, f.pass_repetition,
+           CAST(h.doc_id IS NULL AS INTEGER) AS pass_decontam,
+           f.pass_lang * f.pass_len * f.pass_repetition
+             * CAST(h.doc_id IS NULL AS INTEGER) AS keep
+    FROM flags f LEFT JOIN hits h ON h.doc_id = f.doc_id
+"""
 
 
 SQL_DECONTAMINATE = """
@@ -1419,6 +1548,8 @@ QUERIES = {
     "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     # embeddings
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -151,6 +151,8 @@ def test_hot_queries_whole_stage_codegen(spark, qname):
         "quality_score",
         "repetition_score",
         "dedup_first",
+        "pii_scrub",
+        "decontaminate",
     ],
 )
 def test_no_python_udf_in_jvm_expressible_queries(spark, qname):
@@ -218,7 +220,8 @@ _LAZY_QUERIES = [
     "dedup_first", "ngram_overlap", "summarize", "merge_upsert",
     "pos_tags", "repetition_score", "sentence_dedup", "ann_topk",
     "label_centroids", "minhash_near_dups", "simhash_near_dups",
-    "embedding_near_dups", "multimodal_features",
+    "embedding_near_dups", "multimodal_features", "pii_scrub",
+    "decontaminate", "corpus_stats", "filter_funnel",
 ]
 
 
