@@ -1,0 +1,240 @@
+"""Dictionary-based Chinese segmentation: the public MP-DAG + HMM
+"Mix" algorithm, clean-room.
+
+Re-expresses the behavior of the reference engine's segmenter
+(reconstruction/category/src/MixSegment.hpp:34-86 — MP cut, then every
+run of consecutive single-char words re-cut by HMM;
+MPSegment.hpp:82-150 — DAG over dictionary words + right-to-left
+max-log-prob DP, out-of-dict fragments weighted at the dictionary's
+minimum log-frequency, strict-greater tie rule over end positions
+ascending; HMMSegment.hpp:64-117,144-205 — BEMS Viterbi with ASCII
+runs (< 0x80) passed through whole, final state = argmax(E, S) with E
+winning ties, words closed at E/S states; DictTrie.hpp:150-215 —
+`word freq tag` lines, weight = log(freq / sum(freq))).
+
+No dictionary data ships with this repo: callers supply paths to a
+frequency dictionary and a BEMS HMM model file (9 effective lines:
+start probs, 4x4 transition rows in B,E,M,S order, then 4
+`char:logp,...` emission maps). The reference checkout commits such
+files (reconstruction/category/dict/extra_dict/jieba.dict.small.utf8
+and dict/hmm_model.utf8); the parity tests load them from there when
+present and skip otherwise.
+
+Engine integration: `configure_dictionary()` exports the paths via
+environment variables so Arrow-UDF worker processes (which re-import
+this module) lazily build their own cached segmenter. Call it BEFORE
+building the SparkSession: local-mode python workers snapshot the
+driver environment at JVM launch and are reused
+(spark.python.worker.reuse), so later reconfiguration does not reach
+already-spawned workers. On a real cluster, ship the dict with
+`--files` and set the two env vars via `spark.executorEnv.*`; the
+per-process load (~110k words, ~0.3 s) amortizes over the executor
+lifetime.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+MIN_DOUBLE = -3.14e100
+_B, _E, _M, _S = 0, 1, 2, 3
+
+_ENV_DICT = "NC_SPARK_CHNSEG_DICT"
+_ENV_HMM = "NC_SPARK_CHNSEG_HMM"
+
+_CACHED: "MixSegmenter | None" = None
+_CACHED_KEY: tuple[str, str] | None = None
+
+
+class MixSegmenter:
+    """MP (max-probability DAG) + HMM mix segmentation over a
+    user-supplied frequency dictionary."""
+
+    def __init__(self, dict_path: str, hmm_path: str):
+        total = 0.0
+        entries: list[tuple[str, float]] = []
+        with open(dict_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                entries.append((parts[0], float(parts[1])))
+                total += float(parts[1])
+        self.words = {w: math.log(fr / total) for w, fr in entries}
+        self.min_weight = min(self.words.values())
+        self.max_len = max(len(w) for w in self.words)
+        self.prefixes: set[str] = set()
+        for w in self.words:
+            for i in range(1, len(w)):
+                self.prefixes.add(w[:i])
+        self._load_hmm(hmm_path)
+
+    def _load_hmm(self, path: str) -> None:
+        lines = [
+            ln.strip()
+            for ln in open(path, encoding="utf-8")
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+        self.start = [float(x) for x in lines[0].split()]
+        self.trans = [
+            [float(x) for x in lines[1 + i].split()] for i in range(4)
+        ]
+        self.emit: list[dict[str, float]] = []
+        for i in range(4):
+            d: dict[str, float] = {}
+            for pair in lines[5 + i].split(","):
+                ch, _, v = pair.partition(":")
+                if ch:
+                    d[ch] = float(v)
+            self.emit.append(d)
+
+    # -- MP ---------------------------------------------------------------
+    def mp_cut(self, s: str) -> list[str]:
+        n = len(s)
+        if n == 0:
+            return []
+        dp = [0.0] * (n + 1)
+        pick = [1] * n
+        words, prefixes, min_w = self.words, self.prefixes, self.min_weight
+        for i in range(n - 1, -1, -1):
+            best = MIN_DOUBLE
+            best_len = 1
+            # end positions ascending; strictly-greater keeps the
+            # earliest candidate on ties (MPSegment.hpp:143-147)
+            for j in range(i, min(n, i + self.max_len)):
+                frag = s[i : j + 1]
+                if j == i:
+                    wt = words.get(frag, min_w)
+                else:
+                    wt = words.get(frag)
+                    if wt is None:
+                        if frag not in prefixes:
+                            break
+                        continue
+                val = wt + (dp[j + 1] if j + 1 < n else 0.0)
+                if val > best:
+                    best = val
+                    best_len = j - i + 1
+            dp[i] = best
+            pick[i] = best_len
+        out = []
+        i = 0
+        while i < n:
+            out.append(s[i : i + pick[i]])
+            i += pick[i]
+        return out
+
+    # -- HMM --------------------------------------------------------------
+    def hmm_cut(self, s: str) -> list[str]:
+        """ASCII (< 0x80) runs pass through whole; the rest is BEMS
+        Viterbi (HMMSegment.hpp:64-94)."""
+        out: list[str] = []
+        n = len(s)
+        left = i = 0
+        while i < n:
+            if ord(s[i]) < 0x80:
+                if left != i:
+                    out.extend(self._viterbi_cut(s[left:i]))
+                j = i
+                while j < n and ord(s[j]) < 0x80:
+                    j += 1
+                out.append(s[i:j])
+                left = i = j
+            else:
+                i += 1
+        if left != n:
+            out.extend(self._viterbi_cut(s[left:]))
+        return out
+
+    def _viterbi_cut(self, s: str) -> list[str]:
+        n = len(s)
+        if n == 0:
+            return []
+        start, trans, emit = self.start, self.trans, self.emit
+        wt = [[MIN_DOUBLE] * 4 for _ in range(n)]
+        path = [[_E] * 4 for _ in range(n)]
+        for y in range(4):
+            wt[0][y] = start[y] + emit[y].get(s[0], MIN_DOUBLE)
+            path[0][y] = -1
+        for x in range(1, n):
+            for y in range(4):
+                ep = emit[y].get(s[x], MIN_DOUBLE)
+                best = MIN_DOUBLE
+                bp = _E
+                for py in range(4):
+                    t = wt[x - 1][py] + trans[py][y] + ep
+                    if t > best:
+                        best = t
+                        bp = py
+                wt[x][y] = best
+                path[x][y] = bp
+        # E wins ties at the end (HMMSegment.hpp:192-201)
+        stat = _E if wt[n - 1][_E] >= wt[n - 1][_S] else _S
+        states = [0] * n
+        for x in range(n - 1, -1, -1):
+            states[x] = stat
+            stat = path[x][stat]
+        out = []
+        left = 0
+        for i, st in enumerate(states):
+            if st % 2 == 1:  # E or S closes a word
+                out.append(s[left : i + 1])
+                left = i + 1
+        return out
+
+    # -- Mix --------------------------------------------------------------
+    def cut(self, s: str) -> list[str]:
+        """MP cut, then each maximal run of single-char words re-cut
+        with HMM (MixSegment.hpp:47-86; no user dict, so every
+        single-char run is eligible)."""
+        words = self.mp_cut(s)
+        out: list[str] = []
+        i = 0
+        while i < len(words):
+            if len(words[i]) != 1:
+                out.append(words[i])
+                i += 1
+                continue
+            j = i
+            piece: list[str] = []
+            while j < len(words) and len(words[j]) == 1:
+                piece.append(words[j])
+                j += 1
+            out.extend(self.hmm_cut("".join(piece)))
+            i = j
+        return out
+
+
+def configure_dictionary(dict_path: str, hmm_path: str) -> None:
+    """Install dictionary paths process-wide (env vars, so forked /
+    re-importing Arrow workers pick them up) and reset the cache."""
+    os.environ[_ENV_DICT] = dict_path
+    os.environ[_ENV_HMM] = hmm_path
+    global _CACHED, _CACHED_KEY
+    _CACHED, _CACHED_KEY = None, None
+
+
+def clear_dictionary() -> None:
+    os.environ.pop(_ENV_DICT, None)
+    os.environ.pop(_ENV_HMM, None)
+    global _CACHED, _CACHED_KEY
+    _CACHED, _CACHED_KEY = None, None
+
+
+def get_segmenter() -> MixSegmenter | None:
+    """The configured segmenter, lazily built and cached per process;
+    None when unconfigured or the files are absent."""
+    global _CACHED, _CACHED_KEY
+    dict_path = os.environ.get(_ENV_DICT)
+    hmm_path = os.environ.get(_ENV_HMM)
+    if not dict_path or not hmm_path:
+        return None
+    key = (dict_path, hmm_path)
+    if _CACHED_KEY == key:
+        return _CACHED
+    if not (os.path.exists(dict_path) and os.path.exists(hmm_path)):
+        return None
+    _CACHED = MixSegmenter(dict_path, hmm_path)
+    _CACHED_KEY = key
+    return _CACHED

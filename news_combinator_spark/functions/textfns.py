@@ -12,8 +12,10 @@ pure-Python parity oracle) re-expressing the reference semantics:
   (reconstruction/category/src/KeywordExtractor.hpp:54-136)
 
 Chinese segmentation: the reference uses jieba / cppjieba
-(SURVEY.md F11); jieba is not in this container, so `tokenize` is
-whitespace + CJK-bigram fallback behind an import-try on jieba.
+(SURVEY.md F11). Priority in `tokenize`: jieba if importable (it is
+not in this container) -> the dictionary-based MP+HMM Mix segmenter
+(functions/chnseg.py) when `chnseg.configure_dictionary()` has
+installed dict paths -> deterministic CJK-bigram fallback.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ try:  # pragma: no cover - jieba absent in this container
     _HAS_JIEBA = True
 except Exception:  # pragma: no cover
     _HAS_JIEBA = False
+
+from .chnseg import get_segmenter as _get_chnseg
 
 _CJK_RE = re.compile(r"[一-鿿]+")
 _WS_RE = re.compile(r"\s+")
@@ -52,7 +56,11 @@ def tokenize(text: str) -> list[str]:
             if _HAS_JIEBA:
                 out.extend(t for t in jieba.cut(piece) if t.strip())
             else:
-                out.extend(_cjk_bigrams(piece))
+                seg = _get_chnseg()
+                if seg is not None:
+                    out.extend(t for t in seg.cut(piece) if t.strip())
+                else:
+                    out.extend(_cjk_bigrams(piece))
         else:
             out.append(piece)
     return out

@@ -1,0 +1,86 @@
+"""Dictionary-based Chinese segmentation (F11 upgrade).
+
+Loads the dictionary files the reference checkout commits
+(reconstruction/category/dict/extra_dict/jieba.dict.small.utf8 +
+dict/hmm_model.utf8) and pins the segmenter against the well-known
+public jieba README examples — external goldens independent of this
+implementation. Skips cleanly when no reference checkout is present
+(the repo ships no dictionary data)."""
+
+import os
+
+import pytest
+
+from news_combinator_spark.functions import chnseg
+from news_combinator_spark.functions.textfns import tokenize
+
+DICT = (
+    "/root/reference/reconstruction/category/dict/extra_dict/"
+    "jieba.dict.small.utf8"
+)
+HMM = "/root/reference/reconstruction/category/dict/hmm_model.utf8"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(DICT) and os.path.exists(HMM)),
+    reason="reference dictionary files not available",
+)
+
+
+@pytest.fixture(scope="module")
+def seg():
+    return chnseg.MixSegmenter(DICT, HMM)
+
+
+# The canonical examples from jieba's public README (default cut mode
+# with HMM). 杭研 is OOV in the dictionary and only appears when the
+# BEMS Viterbi path is correct.
+GOLDENS = [
+    ("南京市长江大桥", ["南京市", "长江大桥"]),
+    ("我来到北京清华大学", ["我", "来到", "北京", "清华大学"]),
+    ("他来到了网易杭研大厦", ["他", "来到", "了", "网易", "杭研", "大厦"]),
+    (
+        "小明硕士毕业于中国科学院计算所",
+        ["小明", "硕士", "毕业", "于", "中国科学院", "计算所"],
+    ),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_readme_goldens(seg, text, expected):
+    assert seg.cut(text) == expected
+
+
+def test_concatenation_preserved(seg):
+    for text, _ in GOLDENS:
+        assert "".join(seg.cut(text)) == text
+
+
+def test_ascii_runs_pass_through_whole(seg):
+    assert seg.cut("abc我爱123北京") == ["abc", "我", "爱", "123", "北京"]
+
+
+def test_mp_prefers_dictionary_words(seg):
+    # pure MP (no HMM): every output word is a dict word or single char
+    for w in seg.mp_cut("我来到北京清华大学"):
+        assert w in seg.words or len(w) == 1
+
+
+def test_deterministic(seg):
+    text = "他来到了网易杭研大厦" * 5
+    assert seg.cut(text) == seg.cut(text)
+
+
+def test_tokenize_uses_configured_dictionary():
+    chnseg.configure_dictionary(DICT, HMM)
+    try:
+        toks = tokenize("spark 引擎处理中文新闻聚类")
+        assert toks[0] == "spark"
+        # dictionary mode yields real words, not overlapping bigrams
+        assert "引擎" in toks and "处理" in toks
+        joined = "".join(toks[1:])
+        assert joined == "引擎处理中文新闻聚类"
+    finally:
+        chnseg.clear_dictionary()
+    # fallback restored: overlapping bigrams again
+    toks_bigram = tokenize("引擎处理")
+    assert toks_bigram == ["引擎", "擎处", "处理"]
