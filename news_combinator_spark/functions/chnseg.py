@@ -54,6 +54,7 @@ class MixSegmenter:
     def __init__(self, dict_path: str, hmm_path: str):
         total = 0.0
         entries: list[tuple[str, float]] = []
+        self.tags: dict[str, str] = {}
         with open(dict_path, encoding="utf-8") as f:
             for line in f:
                 parts = line.split()
@@ -61,6 +62,7 @@ class MixSegmenter:
                     continue
                 entries.append((parts[0], float(parts[1])))
                 total += float(parts[1])
+                self.tags[parts[0]] = parts[2] if len(parts) > 2 else "x"
         self.words = {w: math.log(fr / total) for w, fr in entries}
         self.min_weight = min(self.words.values())
         self.max_len = max(len(w) for w in self.words)
@@ -204,6 +206,11 @@ class MixSegmenter:
             out.extend(self.hmm_cut("".join(piece)))
             i = j
         return out
+
+    def tag(self, s: str) -> list[tuple[str, str]]:
+        """(word, POS flag) pairs: Mix cut, then the dictionary tag per
+        word, 'x' for out-of-vocabulary (PosTagger.hpp:41-66)."""
+        return [(w, self.tags.get(w, "x")) for w in self.cut(s)]
 
 
 def configure_dictionary(dict_path: str, hmm_path: str) -> None:

@@ -58,13 +58,31 @@ _FUNCTION_WORDS = frozenset(
 )
 
 
+_CJK_CHAR_RE = re.compile(r"[一-鿿]")
+
+
 def pos_tag(tokens: Iterable[str]) -> list[tuple[str, str]]:
-    """Deterministic heuristic POS tagger (jieba.posseg stand-in):
+    """Deterministic POS tagger. With a dictionary segmenter
+    configured (functions/chnseg.py), dictionary words take their
+    dictionary tag and out-of-vocabulary CJK words get 'x' —
+    PosTagger.hpp:41-66 semantics. Non-CJK tokens (and everything in
+    the unconfigured default mode) use the heuristic stand-in:
     numerals -> 'm', punctuation -> 'w', pronouns -> 'r', function
     words -> 'u', everything else -> 'n'. Crude, but exercises every
     branch of the attr-dict filter deterministically."""
+    from .chnseg import get_segmenter
+
+    seg = get_segmenter()
     out = []
     for t in tokens:
+        if seg is not None:
+            dict_tag = seg.tags.get(t)
+            if dict_tag is not None:
+                out.append((t, dict_tag))
+                continue
+            if _CJK_CHAR_RE.search(t):
+                out.append((t, "x"))
+                continue
         if _NUM_RE.match(t):
             flag = "m"
         elif _PUNCT_RE.match(t):

@@ -70,6 +70,34 @@ def test_deterministic(seg):
     assert seg.cut(text) == seg.cut(text)
 
 
+def test_tag_uses_dictionary_pos(seg):
+    # PosTagger.hpp:43-66 — Mix cut, dict tag per word, "x" for OOV.
+    # 杭研 is OOV (only produced by the HMM) -> "x".
+    got = dict(seg.tag("他来到了网易杭研大厦"))
+    assert got["杭研"] == "x"
+    assert got["网易"] == seg.tags["网易"]
+    # dict tags for common words match the committed dict's own lines
+    assert seg.tag("的")[0] == ("的", "uj")
+
+
+def test_pos_tag_uses_dict_when_configured():
+    from news_combinator_spark.functions.posfilter import pos_tag
+
+    chnseg.configure_dictionary(DICT, HMM)
+    try:
+        flags = dict(pos_tag(["北京", "杭研", "42", "hello"]))
+        # dict word -> its dictionary tag; OOV CJK -> "x";
+        # non-CJK falls back to the heuristic branch
+        assert flags["北京"] == "ns"
+        assert flags["杭研"] == "x"
+        assert flags["42"] == "m"
+        assert flags["hello"] == "n"
+    finally:
+        chnseg.clear_dictionary()
+    # unconfigured: heuristic everywhere (CJK tokens become "n")
+    assert dict(pos_tag(["北京"]))["北京"] == "n"
+
+
 def test_tokenize_uses_configured_dictionary():
     chnseg.configure_dictionary(DICT, HMM)
     try:
