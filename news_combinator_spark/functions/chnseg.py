@@ -212,6 +212,45 @@ class MixSegmenter:
         word, 'x' for out-of-vocabulary (PosTagger.hpp:41-66)."""
         return [(w, self.tags.get(w, "x")) for w in self.cut(s)]
 
+    def idf_proxy(self) -> dict[str, float]:
+        """-log p(w) from the dictionary's own frequencies: the
+        engine's stand-in idf when the reference's idf file
+        (reconstruction/category/dict/idf.utf8) is unavailable — it is
+        a missing large blob in the checkout. Corpus-common words
+        (high unigram frequency) get low idf, rare words high, which
+        is the ranking effect the real file exists to produce."""
+        return {w: -lp for w, lp in self.words.items()}
+
+    def extract_keywords(
+        self,
+        text: str,
+        top_k: int = 10,
+        idf: dict[str, float] | None = None,
+        stopwords: set[str] | None = None,
+    ) -> list[str]:
+        """KeywordExtractor.hpp:54-99 pipeline: Mix cut, drop
+        single-char words and stopwords, weight tf x idf with
+        average-idf fallback for words absent from the idf map, top-K
+        by weight (deterministic word-asc tie-break standing in for
+        the reference's unstable partial_sort). With no idf map the
+        dictionary-frequency proxy is used (see idf_proxy)."""
+        from .textfns import top_k_tags
+
+        return top_k_tags(
+            self.cut(text),
+            idf if idf is not None else self.idf_proxy(),
+            k=top_k,
+            stopwords=stopwords,
+        )
+
+
+def load_stop_words(path: str) -> set[str]:
+    """One stopword per line, verbatim
+    (KeywordExtractor.hpp:_loadStopWordDict — no trimming beyond the
+    newline)."""
+    with open(path, encoding="utf-8") as f:
+        return {ln.rstrip("\n") for ln in f}
+
 
 def configure_dictionary(dict_path: str, hmm_path: str) -> None:
     """Install dictionary paths process-wide (env vars, so forked /

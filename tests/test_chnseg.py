@@ -98,6 +98,42 @@ def test_pos_tag_uses_dict_when_configured():
     assert dict(pos_tag(["北京"]))["北京"] == "n"
 
 
+STOP = "/root/reference/reconstruction/category/dict/stop_words.utf8"
+GOLDEN_DOC = "/root/reference/chnsegmt/jieba_example/docs/000913.json"
+GOLDEN_TAGS = "/root/reference/chnsegmt/jieba_example/docs/000913.tags"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_DOC), reason="reference golden doc absent"
+)
+def test_extract_keywords_vs_reference_golden(seg):
+    """End-to-end keyword extraction against the reference's own
+    committed golden (chnsegmt/jieba_example/docs/000913.tags,
+    produced by extract_tags topK=10 with the FULL dictionary and
+    idf.utf8 — both missing large blobs here). With the committed
+    small dictionary and the dict-frequency idf proxy, 8 of the 10
+    golden tags are reproduced exactly. The two known divergences are
+    vocabulary, not algorithm: 微博 is out-of-vocabulary in the small
+    dict (inconsistent HMM cuts in context) and 鄯善县 is absent so it
+    segments as 鄯善 + 县 — and 鄯善 IS ranked in our top-10."""
+    import json
+
+    from news_combinator_spark.functions.chnseg import load_stop_words
+
+    doc = json.load(open(GOLDEN_DOC, encoding="utf-8"))
+    golden = open(GOLDEN_TAGS, encoding="utf-8").read().split()
+    ours = seg.extract_keywords(
+        doc["contents"]["passage"], top_k=10,
+        stopwords=load_stop_words(STOP),
+    )
+    # pinned exact output (regressions visible) ...
+    assert ours == ["网民", "鄯善", "沙漠", "民警", "初步",
+                    "办案", "女子", "他杀", "女尸", "判定"]
+    # ... and the parity claim vs the reference's committed golden
+    assert len(set(ours) & set(golden)) >= 8
+    assert "鄯善" in ours  # the county-name stem of golden's 鄯善县
+
+
 def test_tokenize_uses_configured_dictionary():
     chnseg.configure_dictionary(DICT, HMM)
     try:
