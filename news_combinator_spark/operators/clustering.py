@@ -574,3 +574,111 @@ def cluster_documents(
         out = out.join(seed_meta, "cluster_id", "left")
     toks.unpersist()
     return out
+
+
+def cluster_documents_v1_sources(
+    docs: DataFrame,
+    source_order: list[str],
+    day_col: str = "day_time",
+    text_col: str = "text",
+    sim_bound: float = 0.75,
+    tag_num: int = 10,
+    idf: dict[str, float] | None = None,
+    stopwords: frozenset[str] | None = None,
+) -> DataFrame:
+    """The v1 pipeline's REAL cross-source greedy (chnsegmt/
+    categorize.py:40-68 + findsimilarpassage.py:21-44): one doc pool
+    per source, in `source_order`; every remaining doc of pool i seeds
+    and takes at most ONE best match (strictly > sim_bound, v1
+    None-on-zero cosine guard) from EACH later pool; a matched doc is
+    discarded from its own pool, so it never seeds or matches again.
+    Clusters are therefore 2..len(source_order) docs, one per source,
+    and the last source never seeds — exactly the member shape of the
+    reference's committed result/<date>/ directories.
+
+    tags: with `idf`, the float tf*idf ranking (the reference's
+    jieba extract_tags path — pass MixSegmenter.idf_proxy() when the
+    real idf file is absent); without, the engine's integer
+    (tf desc, doc-freq asc) ordering over the day's pool.
+
+    Scale shape: pools are per-`day_col` and the greedy consume order
+    is inherently sequential WITHIN a pool, so the pool is the
+    parallel unit — groupBy(day).applyInPandas fans days out across
+    executors, and each day's O(seeds x candidates) loop touches only
+    tag-space vectors (tag_num-length dicts), not full documents.
+    Deterministic stand-ins for the reference's unordered Py2 Set
+    iteration: seeds scan doc_id ascending, similarity ties pick the
+    lower doc_id."""
+    from collections import Counter
+
+    from ..functions.textfns import cosine_guarded, top_k_tags
+    from ..oracle.reference_impl import doc_freq, select_tags
+
+    order = list(source_order)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        day = str(pdf[day_col].iloc[0])
+        toks = {
+            int(r.doc_id): tokenize(getattr(r, text_col) or "")
+            for r in pdf.itertuples()
+        }
+        pools = {
+            s: sorted(
+                int(r.doc_id)
+                for r in pdf.itertuples()
+                if r.source == s
+            )
+            for s in order
+        }
+        dfc = None if idf is not None else doc_freq(list(toks.values()))
+        rows = []
+        for i, src in enumerate(order[:-1]):
+            for nid in list(pools[src]):
+                seed_toks = toks[nid]
+                if idf is not None:
+                    tags = top_k_tags(
+                        seed_toks, idf, k=tag_num, stopwords=stopwords
+                    )
+                else:
+                    tags = select_tags(
+                        seed_toks, dfc, k=tag_num, stopwords=stopwords
+                    )
+                tag_set = set(tags)
+                etf_counts = Counter(
+                    t for t in seed_toks if t in tag_set
+                )
+                if not etf_counts:
+                    continue  # GetTermFreqFromContent -> None
+                etf = {t: float(etf_counts.get(t, 0)) for t in tags}
+                members, srcs = [nid], [src]
+                for later in order[i + 1 :]:
+                    best: tuple[float, int] | None = None
+                    for cand in pools[later]:
+                        cc = Counter(
+                            t for t in toks[cand] if t in tag_set
+                        )
+                        if not cc:
+                            continue
+                        ctf = {t: float(cc.get(t, 0)) for t in tags}
+                        s = cosine_guarded(etf, ctf, version=1)
+                        if s is not None and s > sim_bound and (
+                            best is None or (-s, cand) < (-best[0], best[1])
+                        ):
+                            best = (s, cand)
+                    if best is not None:
+                        pools[later].remove(best[1])
+                        members.append(best[1])
+                        srcs.append(later)
+                if len(members) > 1:
+                    rows.append((day, nid, members, srcs))
+        return pd.DataFrame(
+            rows, columns=["day", "seed_id", "member_ids", "source_list"]
+        )
+
+    return docs.select(day_col, "doc_id", "source", text_col).groupBy(
+        day_col
+    ).applyInPandas(
+        _greedy,
+        schema="day string, seed_id long, member_ids array<long>, "
+        "source_list array<string>",
+    )
