@@ -1438,6 +1438,33 @@ def q_news_clusters_lsh(spark, sf_dir):
     )
 
 
+def q_v1_cross_source_clusters(spark, sf_dir):
+    """J1 faithful form: the v1 pipeline's cross-source greedy
+    (categorize.py:40-68) — one pool per source grammar, top-1 match
+    per later pool, matched docs consumed. Engine-only (the
+    sequential consume loop is not SQL-expressible); semantics pinned
+    vs the reference's committed result/ goldens in
+    tests/test_golden_clusters.py (pairwise F1 0.911)."""
+    from ..operators.clustering import cluster_documents_v1_sources
+
+    docs = _dup_corpus(spark).withColumn(
+        "source",
+        F.when(F.col("source").contains("qq.com"), "tencent")
+        .when(F.col("source").contains("163.com"), "netease")
+        .otherwise("sina"),
+    ).withColumn("day", F.lit("d0"))
+    out = cluster_documents_v1_sources(
+        docs, ["tencent", "netease", "sina"], day_col="day"
+    )
+    return out.select(
+        "seed_id",
+        F.concat_ws(",", F.col("member_ids").cast("array<string>")).alias(
+            "member_csv"
+        ),
+        F.concat_ws(",", "source_list").alias("source_csv"),
+    ).orderBy("seed_id")
+
+
 def q_near_dup_groups(spark, sf_dir):
     """Corpus-level dedup decision: pairs -> CC -> canonical keep-one."""
     return dd.near_dup_groups(_dup_corpus(spark), threshold=0.7).orderBy(
@@ -1555,6 +1582,7 @@ QUERIES = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     # engine-only (rows-only)
     "news_clusters_lsh": (q_news_clusters_lsh, None),
+    "v1_cross_source_clusters": (q_v1_cross_source_clusters, None),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "near_dup_groups": (q_near_dup_groups, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
