@@ -1065,6 +1065,54 @@ def q_repetition_score(spark, sf_dir):
     )
 
 
+def q_lm_nll(spark, sf_dir):
+    """CCNet-style perplexity filter with a corpus-trained unigram LM:
+    p(w) = count(w) / total over the corpus itself (no external LM
+    data), doc score = mean negative log-likelihood of its words —
+    high avg_nll flags out-of-distribution documents. All JVM
+    expressions. Shuffle shape: one map-side-combined groupBy(word)
+    builds the vocab-sized LM, the total is a 1-row broadcast cross
+    join, the words-to-LM join shuffles on the same word key the LM
+    was built on (co-located; broadcastable when the vocab fits), and
+    the final groupBy(doc_id) is partial-aggregated — no global
+    single-partition stage at any corpus size."""
+    words = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    lm = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("c") / F.col("n")).alias("logp")
+    )
+    return (
+        words.join(logp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            # +1e-9 shifts exact grid points off the rounding boundary
+            # identically in both engines (see q_quality_score)
+            F.round(-F.avg("logp") + 1e-9, 4).alias("avg_nll"),
+        )
+    )
+
+
+SQL_LM_NLL = """
+    WITH wd AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), lm AS (
+      SELECT w, count(*) AS c FROM wd GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS n FROM lm
+    )
+    SELECT wd.doc_id,
+           count(*) AS n_words,
+           round(-avg(ln(lm.c / CAST(tot.n AS DOUBLE))) + 1e-9, 4)
+             AS avg_nll
+    FROM wd JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY wd.doc_id
+"""
+
+
 SQL_REPETITION_SCORE = """
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1572,6 +1620,7 @@ QUERIES = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "pos_tags": (q_pos_tags, SQL_POS_TAGS),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "lm_nll": (q_lm_nll, SQL_LM_NLL),
     "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
