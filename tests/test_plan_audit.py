@@ -153,6 +153,7 @@ def test_hot_queries_whole_stage_codegen(spark, qname):
         "dedup_first",
         "pii_scrub",
         "decontaminate",
+        "lm_nll",
     ],
 )
 def test_no_python_udf_in_jvm_expressible_queries(spark, qname):
@@ -222,6 +223,7 @@ _LAZY_QUERIES = [
     "label_centroids", "minhash_near_dups", "simhash_near_dups",
     "embedding_near_dups", "multimodal_features", "pii_scrub",
     "decontaminate", "corpus_stats", "filter_funnel",
+    "lm_nll", "v1_cross_source_clusters",
 ]
 
 
