@@ -135,6 +135,25 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Exactness invariant: probing EVERY cell (n_probe == n_cells)
+    removes the approximation entirely, so IVF's top-k neighbor sets
+    must equal brute force — the recall knob really does buy back
+    exactness at full cost."""
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    full = sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8).collect()
+    exact_sets, full_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in full:
+        full_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert full_sets == exact_sets
+
+
 def test_bruteforce_topk_self_excluded_and_ranked(spark):
     emb = spark.createDataFrame(
         [
