@@ -80,6 +80,8 @@ SQL_BENCH_QUERIES = [
     "decontaminate",
     "corpus_stats",
     "filter_funnel",
+    "lm_nll",
+    "v1_cross_source_clusters",
 ]
 
 
