@@ -80,9 +80,18 @@ def minhash_near_dups(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """(a, b, jaccard_sim) pairs with token-set Jaccard >= threshold.
-    LSH candidates then exact verify — never a full cross join."""
+    LSH candidates then exact verify — never a full cross join.
+
+    ``max_bucket`` forwards to the banding guard: buckets larger than
+    it are dropped before the self-join (bounds the s^2/2 blow-up on
+    boilerplate shingles). Set it >= the corpus row count to make the
+    banding lossless — with 16 bands of 4 rows the per-pair miss
+    probability at jaccard s is (1-s^4)^16, ~1e-12 at s=0.95, so the
+    lossless-guard output equals brute force in practice (pinned by
+    the driver's DuckDB oracle and tests/test_dedup.py)."""
     toks = _tokens_df(df, text_col)
 
     def _sig(batches):
@@ -97,7 +106,7 @@ def minhash_near_dups(
             )
 
     sigs = toks.mapInPandas(_sig, schema="doc_id long, sig array<long>")
-    pairs = candidate_pairs(sigs, bands)
+    pairs = candidate_pairs(sigs, bands, max_bucket=max_bucket)
     joined = (
         pairs.join(
             toks.select(
@@ -314,6 +323,7 @@ def near_dup_groups(
     bands: int = 16,
     pairs: DataFrame | None = None,
     max_iter: int = 20,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup GROUPS: (doc_id, canonical,
     is_canonical) for every input row.
@@ -335,7 +345,9 @@ def near_dup_groups(
     from .clustering import connected_components
 
     if pairs is None:
-        pairs = minhash_near_dups(df, text_col, threshold, num_perm, bands)
+        pairs = minhash_near_dups(
+            df, text_col, threshold, num_perm, bands, max_bucket=max_bucket
+        )
     comps = connected_components(pairs.select("a", "b"), max_iter=max_iter)
     return (
         df.select("doc_id")

@@ -1514,16 +1514,76 @@ def q_v1_cross_source_clusters(spark, sf_dir):
 
 
 def q_near_dup_groups(spark, sf_dir):
-    """Corpus-level dedup decision: pairs -> CC -> canonical keep-one."""
-    return dd.near_dup_groups(_dup_corpus(spark), threshold=0.7).orderBy(
-        "doc_id"
-    )
+    """Corpus-level dedup decision: pairs -> CC -> canonical keep-one
+    (keep-first semantics per reference pipelines.py:19-23).
+
+    Runs over the documents table with a lossless banding guard so the
+    DuckDB oracle (brute-force Jaccard pairs closed with a recursive-CTE
+    transitive closure) checks the FULL pipeline: sketch -> LSH ->
+    verify -> connected components -> canonical labeling. Input is
+    bounded to doc_id < 500 (the full sf0.01 corpus) so the oracle's
+    O(n^2) brute force and the bench cost are SF-invariant."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dd.near_dup_groups(
+        docs, threshold=0.95, max_bucket=10_000
+    ).orderBy("doc_id")
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    return dd.minhash_near_dups(_dup_corpus(spark), threshold=0.7).select(
-        "a", "b", F.round("jaccard_sim", 4).alias("jaccard_sim")
+    """MinHash-LSH near-dup pairs over the documents table. With the
+    banding guard at corpus size the LSH path is lossless (per-pair
+    miss ~1e-12 at s=0.95), so the exact brute-force DuckDB oracle
+    hash-checks the whole sketch+band+verify pipeline. Input bounded
+    to doc_id < 500 (the full sf0.01 corpus) for SF-invariant cost."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dd.minhash_near_dups(
+        docs, threshold=0.95, max_bucket=10_000
+    ).select("a", "b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+
+
+SQL_MINHASH_NEAR_DUPS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      FROM documents WHERE doc_id < 500
     )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+             AS jaccard_sim
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+"""
+
+
+SQL_NEAR_DUP_GROUPS = r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      FROM documents WHERE doc_id < 500
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+    ),
+    edges AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT src AS doc_id,
+           min(node) AS canonical,
+           min(node) = src AS is_canonical
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+"""
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -1632,8 +1692,8 @@ QUERIES = {
     # engine-only (rows-only)
     "news_clusters_lsh": (q_news_clusters_lsh, None),
     "v1_cross_source_clusters": (q_v1_cross_source_clusters, None),
-    "minhash_near_dups": (q_minhash_near_dups, None),
-    "near_dup_groups": (q_near_dup_groups, None),
+    "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "ivf_ann": (q_ivf_ann, None),
