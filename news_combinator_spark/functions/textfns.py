@@ -199,15 +199,28 @@ def hash_bytes_64(data: bytes) -> int:
     )[0]
 
 
-def simhash64(tokens: list[str]) -> int:
+def md5_hash64(token: str) -> int:
+    """Lower 64 bits of MD5, little-endian over digest bytes 8:16 —
+    bit-identical to DuckDB's ``md5_number_lower()``, so a pure-SQL
+    oracle can recompute simhash values built on this hash."""
+    return struct.unpack(
+        "<Q", hashlib.md5(token.encode("utf-8")).digest()[8:]
+    )[0]
+
+
+def simhash64(tokens: list[str], hash_fn=None) -> int:
     """Charikar SimHash: signed bit-vote over per-token 64-bit hashes
-    weighted by term frequency; returns signed int64."""
+    weighted by term frequency; returns signed int64. ``hash_fn``
+    selects the per-token hash (default blake2b; pass ``md5_hash64``
+    for the SQL-reproducible variant)."""
     if not tokens:
         return 0
+    if hash_fn is None:
+        hash_fn = _stable_hash64
     counts = Counter(tokens)
     votes = np.zeros(64, dtype=np.int64)
     for tok, cnt in counts.items():
-        h = _stable_hash64(tok)
+        h = hash_fn(tok)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         votes += np.where(bits.astype(bool), cnt, -cnt)
     val = 0

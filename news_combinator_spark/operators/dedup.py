@@ -136,14 +136,16 @@ def minhash_near_dups(
     ).filter(F.col("jaccard_sim") >= threshold)
 
 
-def simhash_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_df(
+    df: DataFrame, text_col: str = "text", hash_fn=None
+) -> DataFrame:
     def _sh(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "simhash": pdf[text_col].map(
-                        lambda t: simhash64(tokenize(t or ""))
+                        lambda t: simhash64(tokenize(t or ""), hash_fn)
                     ),
                 }
             )
@@ -154,16 +156,20 @@ def simhash_df(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", radius: int = 3
+    df: DataFrame, text_col: str = "text", radius: int = 3, hash_fn=None
 ) -> DataFrame:
     """(a, b, hamming) with Hamming(simhash_a, simhash_b) <= radius.
 
     Pigeonhole blocking: split 64 bits into radius+1 blocks; any pair
     within `radius` agrees on >=1 block -> groupBy(block_id, block
     value) generates candidates, exact popcount verifies. All JVM-side
-    bit arithmetic (shiftright / xor / bit_count).
+    bit arithmetic (shiftright / xor / bit_count). Unlike LSH banding
+    this blocking is LOSSLESS by construction (pigeonhole over disjoint
+    blocks), so the output is exactly the hamming-radius pair set.
+    ``hash_fn`` forwards to simhash64 (md5_hash64 makes the sketch
+    SQL-reproducible for oracle checks).
     """
-    sh = simhash_df(df, text_col)
+    sh = simhash_df(df, text_col, hash_fn)
     n_blocks = radius + 1
     width = 64 // n_blocks
     blocks = None

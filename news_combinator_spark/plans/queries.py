@@ -1587,7 +1587,47 @@ SQL_NEAR_DUP_GROUPS = r"""
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    return dd.simhash_near_dups(_dup_corpus(spark), radius=8)
+    """SimHash hamming-radius pairs over the documents table. The
+    pigeonhole block join is lossless by construction, and with the
+    md5-based token hash (bit-identical to DuckDB md5_number_lower)
+    the oracle recomputes the full sketch in pure SQL — tokenize ->
+    tf-weighted bit votes -> 64-bit simhash -> brute-force popcount —
+    so the hash gate covers the entire pipeline. Input bounded to
+    doc_id < 500 (the full sf0.01 corpus) for SF-invariant cost."""
+    from ..functions.textfns import md5_hash64
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dd.simhash_near_dups(docs, radius=8, hash_fn=md5_hash64)
+
+
+SQL_SIMHASH_NEAR_DUPS = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE doc_id < 500
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS cnt,
+             md5_number_lower(tok) AS h
+      FROM toks GROUP BY doc_id, tok
+    ),
+    bits AS (SELECT unnest(range(0, 64)) AS b),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM tc CROSS JOIN bits GROUP BY doc_id, b
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                           ELSE 0::UBIGINT END) AS UBIGINT) AS shu
+      FROM votes GROUP BY doc_id
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.shu, y.shu)) AS INTEGER) AS hamming
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.shu, y.shu)) <= 8
+"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -1615,11 +1655,19 @@ SQL_EMBEDDING_NEAR_DUPS = """
 
 
 def q_ivf_ann(spark, sf_dir):
+    """IVF top-k with FULL probing (n_probe = n_cells): every cell is
+    probed, so the cell-bucketed join enumerates exactly the brute-force
+    pair set and the output is provably identical to exhaustive search
+    (the exactness invariant pinned in tests/test_dedup_similarity.py).
+    That makes the whole IVF machinery — centroid training, cell
+    assignment, probe ranking, bucketed scoring, top-k — hash-checkable
+    against the brute-force DuckDB oracle. Sub-full probing (the scale
+    path, n_probe << n_cells) is recall-gated in pytest instead."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).select(
+    return sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8).select(
         "query_id", "neighbor_id",
         F.col("rank").cast("int").alias("rank"),
         F.round("cos_sim", 4).alias("cos_sim"),
@@ -1694,9 +1742,9 @@ QUERIES = {
     "v1_cross_source_clusters": (q_v1_cross_source_clusters, None),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
-    "ivf_ann": (q_ivf_ann, None),
+    "ivf_ann": (q_ivf_ann, SQL_ANN_TOPK),
     "multimodal_features": (q_multimodal_features, None),
 }
 
