@@ -175,11 +175,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 1,
+    corpus_assign: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe the n_probe best cells per query."""
+    """Approximate top-k: probe the n_probe best cells per query.
+
+    ``corpus_assign`` > 1 replicates each corpus vector into that many
+    nearest cells (multi-assignment): index size grows linearly with it
+    while recall rises, because a true neighbor sitting near a cell
+    boundary is findable through ANY of its top cells rather than only
+    its single argmax cell — the main recall loss mode of plain IVF.
+    Pairs that meet through several shared cells are deduplicated
+    before ranking (their scores are identical, so the output stays
+    deterministic)."""
     centroids, assign = assign_cells(
         corpus, n_cells, id_col, vec_col, train_iters
     )
+    if corpus_assign > 1:
+        vecs = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        assign = _assign_to(vecs, centroids, n_probe=corpus_assign)
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -209,6 +224,8 @@ def ivf_topk(
             "cos_sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
     )
+    if corpus_assign > 1:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -135,6 +135,38 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_corpus_multi_assign_improves_recall(spark):
+    """corpus_assign=2 replicates each corpus vector into its 2 nearest
+    cells; boundary neighbors become reachable through either cell, so
+    recall at the same n_probe must not drop and should clear a higher
+    floor than the single-assignment gate above."""
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+
+    def mean_recall(corpus_assign):
+        approx = sim.ivf_topk(
+            emb, queries, k=5, n_cells=8, n_probe=4,
+            corpus_assign=corpus_assign,
+        ).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rs = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / 5
+            for q in exact_sets
+        ]
+        return sum(rs) / len(rs)
+
+    r1, r2 = mean_recall(1), mean_recall(2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.7, (r1, r2)
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """Exactness invariant: probing EVERY cell (n_probe == n_cells)
     removes the approximation entirely, so IVF's top-k neighbor sets
@@ -209,3 +241,42 @@ def test_dedup_keep_canonical_shrinks_corpus(spark, corpus_df):
         r["doc_id"] for r in groups.filter("is_canonical").collect()
     )
     assert kept.columns == df.columns
+
+
+def test_md5_simhash_matches_bruteforce_and_duckdb_hash(spark, corpus_df):
+    """The md5 token-hash variant powers the driver's pure-SQL simhash
+    oracle: (a) md5_hash64 must stay bit-identical to DuckDB's
+    md5_number_lower, and (b) the pigeonhole block join must return
+    exactly the brute-force hamming-radius pair set (the blocking is
+    lossless by construction, so equality is exact, not approximate)."""
+    import duckdb
+
+    from news_combinator_spark.functions.textfns import (
+        hamming64,
+        md5_hash64,
+        simhash64,
+    )
+
+    con = duckdb.connect()
+    for tok in ["hello", "spark", "新闻", "a", ""]:
+        got = con.execute(
+            "SELECT md5_number_lower(?)", [tok]
+        ).fetchone()[0]
+        assert got == md5_hash64(tok), tok
+
+    df, texts = corpus_df
+    radius = 8
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dd.simhash_near_dups(
+            df, radius=radius, hash_fn=md5_hash64
+        ).collect()
+    }
+    sketches = [simhash64(tokenize(t), md5_hash64) for t in texts]
+    exp = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = hamming64(sketches[i], sketches[j])
+            if h <= radius:
+                exp.add((i, j, h))
+    assert got == exp
