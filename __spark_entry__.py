@@ -3,10 +3,13 @@
 entry(spark):   flagship crawl-frontier query on sf0.001.
 queries():      every implemented operator from SURVEY.md §2 plus the
                 training-data ops (see news_combinator_spark/plans/queries.py).
-oracle_sql():   matching DuckDB SQL; engine-only operators (LSH
-                clustering, bloom crawl internals, IVF ANN, multimodal)
-                are intentionally absent -> rows-only checks, with
-                their exact semantics pinned by pytest parity oracles.
+oracle_sql():   matching DuckDB SQL; the only intentionally absent
+                entries are the greedy LSH/cross-source clusterings
+                (sequential consume loops, golden-pinned in pytest)
+                and the stub-codec multimodal query — everything else,
+                including the approximate dedup/ANN operators, is
+                hash-checked (lossless banding / pigeonhole blocking /
+                full probing make them exactly SQL-reproducible).
 """
 
 from __future__ import annotations

@@ -82,6 +82,7 @@ SQL_BENCH_QUERIES = [
     "filter_funnel",
     "lm_nll",
     "v1_cross_source_clusters",
+    "dup_span_stats",
 ]
 
 

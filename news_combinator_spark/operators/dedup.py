@@ -377,3 +377,96 @@ def dedup_keep_canonical(
         groups = near_dup_groups(df, **near_dup_kwargs)
     keep = groups.filter("is_canonical").select("doc_id")
     return df.join(keep, "doc_id", "left_semi")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Substring-level dedup signal: every length-``window`` token run
+    is hashed, and a run whose hash occurs at >= ``min_occurrences``
+    (doc, pos) sites — within or across documents — marks each site as
+    a duplicated span. Returns (doc_id, pos, span_hash, n_sites).
+
+    This is the Spark-first re-expression of suffix-array duplicate-
+    substring detection for training corpora (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): fixed
+    token windows instead of maximal repeats, which bounds state to one
+    64-bit hash per token position and keeps everything JVM-side —
+    split / sequence / slice / concat_ws / xxhash64 inside whole-stage
+    codegen, one groupBy(span_hash) shuffle of narrow rows, and a hash
+    join back to sites. No Python touches the hot path. A maximal
+    repeat of length L >= window is detected at every covered position,
+    so spans recoverable by merging adjacent flagged positions."""
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    span_hashes = f"""
+        CASE WHEN size(toks) >= {window}
+             THEN transform(
+                    sequence(0, size(toks) - {window}),
+                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {window}))))
+             ELSE CAST(array() AS array<bigint>)
+        END
+    """
+    sites = toks.select(
+        "doc_id", F.posexplode(F.expr(span_hashes)).alias("pos", "span_hash")
+    )
+    dup_counts = (
+        sites.groupBy("span_hash")
+        .agg(F.count("*").alias("n_sites"))
+        .filter(F.col("n_sites") >= min_occurrences)
+    )
+    return sites.join(dup_counts, "span_hash").select(
+        "doc_id", "pos", "span_hash", "n_sites"
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span fraction: (doc_id, n_windows,
+    n_dup_windows, dup_frac). The curation consumer of
+    ``duplicated_spans`` — docs whose windows are mostly shared with
+    the rest of the corpus are boilerplate/templates to drop or trim.
+    Documents with fewer than ``window`` tokens have no windows and are
+    excluded (no signal either way)."""
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    span_hashes = f"""
+        CASE WHEN size(toks) >= {window}
+             THEN transform(
+                    sequence(0, size(toks) - {window}),
+                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {window}))))
+             ELSE CAST(array() AS array<bigint>)
+        END
+    """
+    sites = toks.select(
+        "doc_id", F.posexplode(F.expr(span_hashes)).alias("pos", "span_hash")
+    )
+    dup_counts = (
+        sites.groupBy("span_hash")
+        .agg(F.count("*").alias("n_sites"))
+        .filter(F.col("n_sites") >= min_occurrences)
+        .select("span_hash")
+    )
+    flagged = sites.join(
+        dup_counts.withColumn("is_dup", F.lit(1)), "span_hash", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
+        )
+    )

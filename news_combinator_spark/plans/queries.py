@@ -1630,6 +1630,75 @@ SQL_SIMHASH_NEAR_DUPS = r"""
 """
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """Substring-level dedup sites (Lee et al. 2022 re-expressed as
+    hashed fixed token windows — see dedup.duplicated_spans). The
+    engine groups on xxhash64 of each window; the oracle groups on the
+    window strings themselves, so a hash collision merging distinct
+    spans would surface as a mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.duplicated_spans(docs, window=8).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "n_sites"
+    )
+
+
+SQL_DUPLICATED_SPANS = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sites AS (
+      SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS span
+      FROM sites
+    ),
+    dups AS (
+      SELECT span, count(*) AS n_sites
+      FROM spans GROUP BY span HAVING count(*) >= 2
+    )
+    SELECT s.doc_id, s.pos, d.n_sites
+    FROM spans s JOIN dups d USING (span)
+"""
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Per-document duplicated-window fraction — the curation signal
+    consumed from duplicated_spans (boilerplate/template docs score
+    high and get trimmed or dropped)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.dup_span_stats(docs, window=8)
+
+
+SQL_DUP_SPAN_STATS = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sites AS (
+      SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS span
+      FROM sites
+    ),
+    dups AS (
+      SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+    )
+    SELECT s.doc_id,
+           count(*) AS n_windows,
+           count(d.span) AS n_dup_windows,
+           round(count(d.span)::DOUBLE / count(*), 4) AS dup_frac
+    FROM spans s LEFT JOIN dups d ON s.span = d.span
+    GROUP BY s.doc_id
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     emb = (
         _t(spark, sf_dir, "embeddings")
@@ -1743,6 +1812,8 @@ QUERIES = {
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
+    "duplicated_spans": (q_duplicated_spans, SQL_DUPLICATED_SPANS),
+    "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "ivf_ann": (q_ivf_ann, SQL_ANN_TOPK),
     "multimodal_features": (q_multimodal_features, None),

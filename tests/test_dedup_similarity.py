@@ -280,3 +280,51 @@ def test_md5_simhash_matches_bruteforce_and_duckdb_hash(spark, corpus_df):
             if h <= radius:
                 exp.add((i, j, h))
     assert got == exp
+
+
+def test_duplicated_spans_vs_bruteforce(spark):
+    """Planted duplicate substring across docs: engine (hashed windows,
+    JVM-side) must flag exactly the positions a brute-force pure-Python
+    window scan flags, and dup_span_stats must aggregate them."""
+    boiler = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, "alpha beta " + boiler + " gamma delta epsilon zeta eta"),
+        (1, "one two three " + boiler + " four five six seven eight"),
+        (2, "totally unrelated text with enough tokens to form windows here"),
+        (3, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 8
+    got = {
+        (r["doc_id"], r["pos"], r["n_sites"])
+        for r in dd.duplicated_spans(df, window=W).collect()
+    }
+    spans = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        for i in range(len(toks) - W + 1):
+            spans.setdefault(" ".join(toks[i : i + W]), []).append(
+                (doc_id, i)
+            )
+    exp = {
+        (d, p, len(sites))
+        for sites in spans.values()
+        if len(sites) >= 2
+        for d, p in sites
+    }
+    assert got == exp and len(exp) > 0
+
+    stats = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in dd.dup_span_stats(df, window=W).collect()
+    }
+    n_dup_by_doc = {}
+    n_win_by_doc = {}
+    for span, sites in spans.items():
+        for d, _ in sites:
+            n_win_by_doc[d] = n_win_by_doc.get(d, 0) + 1
+            if len(sites) >= 2:
+                n_dup_by_doc[d] = n_dup_by_doc.get(d, 0) + 1
+    assert set(stats) == set(n_win_by_doc)  # doc 3: no windows, absent
+    for d in stats:
+        assert stats[d] == (n_win_by_doc[d], n_dup_by_doc.get(d, 0)), d
