@@ -83,6 +83,7 @@ SQL_BENCH_QUERIES = [
     "lm_nll",
     "v1_cross_source_clusters",
     "dup_span_stats",
+    "pack_sequences",
 ]
 
 

@@ -1665,6 +1665,39 @@ SQL_DUPLICATED_SPANS = r"""
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (training-batch prep): each
+    document's place in the packed token stream at a 512-token budget.
+    Engine side is the two-level prefix sum (no single-partition
+    window); the oracle is the plain SQL window cumsum it must equal.
+    bucket_width=64 forces multiple buckets at sf0.01 so the
+    offset-join path is actually exercised."""
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, bucket_width=64)
+
+
+SQL_PACK_SEQUENCES = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, n_tok,
+           (cum_before // 512)::BIGINT AS seq_id,
+           (cum_before % 512)::BIGINT AS seq_offset,
+           ((cum_before + n_tok - 1) // 512 - cum_before // 512
+            + 1)::BIGINT AS n_seqs
+    FROM c
+"""
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Per-document duplicated-window fraction — the curation signal
     consumed from duplicated_spans (boilerplate/template docs score
@@ -1814,6 +1847,7 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "duplicated_spans": (q_duplicated_spans, SQL_DUPLICATED_SPANS),
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "ivf_ann": (q_ivf_ann, SQL_ANN_TOPK),
     "multimodal_features": (q_multimodal_features, None),

@@ -223,7 +223,8 @@ _LAZY_QUERIES = [
     "label_centroids", "minhash_near_dups", "simhash_near_dups",
     "embedding_near_dups", "ivf_ann", "multimodal_features", "pii_scrub",
     "decontaminate", "corpus_stats", "filter_funnel",
-    "lm_nll", "v1_cross_source_clusters",
+    "lm_nll", "v1_cross_source_clusters", "duplicated_spans",
+    "dup_span_stats", "pack_sequences",
 ]
 
 
