@@ -43,7 +43,11 @@ BENCH_HOSTS = 4096
 BENCH_BUDGET = 400
 BENCH_ROUNDS = 3
 BENCH_SEEDS = 65536  # wide seed set so every round carries real volume
-BENCH_AMPLIFY = 200  # replicate docs so the frontier is ~1M pages at sf0.1
+# replicate docs so the frontier is ~1M pages at sf0.1; the env
+# override lets the scaling protocol grow the input to show efficiency
+# rising with volume (the per-round driver-barrier floor is constant,
+# so bigger rounds -> higher parallel fraction, as at real scale)
+BENCH_AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "200"))
 CLUSTER_CORPUS = 20000
 
 SQL_BENCH_QUERIES = [

@@ -9,11 +9,16 @@ JVM-side where the semantics allow (exact paths are pure built-ins).
 - exact_dup_groups:   hash -> members (the audit view of the above)
 - minhash_near_dups:  shingle -> MinHash -> LSH bands -> bucket pairs
                       -> Jaccard verify (reuses clustering kernels)
-- simhash_near_dups:  64-bit SimHash, Hamming <= radius via 4-way
-                      block rotation (pigeonhole: any pair at distance
-                      <=3 shares at least one of 4 16-bit blocks)
+- simhash_near_dups:  64-bit SimHash, Hamming <= radius via
+                      pigeonhole blocking over radius+1 disjoint
+                      blocks (lossless: a pair within radius agrees
+                      on at least one block)
 - ngram_jaccard_pairs: character n-gram Jaccard for candidate pairs
 - embedding_near_dups: cosine >= tau over an embedding column
+- near_dup_groups / dedup_keep_canonical: pairs -> connected
+                      components -> min-id canonical keep-one
+- duplicated_spans / dup_span_stats: substring-level dedup via hashed
+                      fixed token windows (Lee et al. 2022)
 """
 
 from __future__ import annotations
