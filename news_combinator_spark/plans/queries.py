@@ -32,6 +32,7 @@ from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators.clustering import cluster_documents
 from ..functions.posfilter import _FUNCTION_WORDS, _PRONOUNS, doc_pos_tags
+from ..operators import linkgraph as lg
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
@@ -1793,6 +1794,109 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ===========================================================================
+# Link-graph centrality (frontier priority at Common-Crawl scale)
+# ===========================================================================
+
+def q_link_rank(spark, sf_dir):
+    """PageRank over the EXTRACTED link graph: edges come from the real
+    extraction kernel (links_udf over html binary), filtered to .test
+    hosts exactly like the frontier's allowed-suffix gate, then 5 power
+    iterations of operators/linkgraph.page_rank. The oracle re-derives
+    the same edges from the datagen rule and unrolls the same 5
+    iterations as CTEs — so centroid-free iterative ranking is fully
+    hash-checked. Doc n-6 has a doubled out-link ((2i+1)%n == (3i+7)%n
+    at i = n-6), pinning multiset edge semantics on both sides."""
+    pages = pages_from_documents(spark, sf_dir)
+    edges = (
+        pages.select(
+            F.col("url").alias("src"),
+            F.explode(links_udf(F.col("html"))).alias("dst"),
+        )
+        .filter(F.parse_url("dst", F.lit("HOST")).endswith(".test"))
+    )
+    ranks = lg.page_rank(edges, num_iters=5, alpha=0.85)
+    return ranks.select(
+        F.col("node").alias("url"), F.round("rank", 8).alias("pr")
+    )
+
+
+def _link_rank_oracle_sql(num_iters: int = 5, alpha: float = 0.85) -> str:
+    """Unroll the power iteration as chained CTEs (dual expression of
+    page_rank's per-round join+agg; same float op structure, rounded
+    at 8 dp so cross-engine summation order can't flip the hash)."""
+    parts = [
+        _pages_cte(),
+        """
+        , e AS (
+            SELECT url AS src, next1_url AS dst FROM pages
+            UNION ALL
+            SELECT url AS src, next2_url AS dst FROM pages
+        )
+        , deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)
+        , en AS (SELECT e.src, e.dst, cast(1.0 as double) / deg.out_deg AS w
+                 FROM e JOIN deg ON e.src = deg.src)
+        , nodes AS (SELECT url AS node FROM pages)
+        , nn AS (SELECT cast(count(*) as double) AS n FROM pages)
+        , r0 AS (SELECT node, cast(1.0 as double) / nn.n AS pr
+                 FROM nodes CROSS JOIN nn)
+        """,
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(f"""
+        , r{k} AS (
+            SELECT nodes.node,
+                   (1.0 - {alpha}) / nn.n
+                   + {alpha} * coalesce(c.s, cast(0.0 as double)) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT en.dst, sum(r.pr * en.w) AS s
+                FROM en JOIN r{k - 1} r ON en.src = r.node
+                GROUP BY en.dst
+            ) c ON nodes.node = c.dst
+        )
+        """)
+    parts.append(
+        f"SELECT node AS url, round(pr, 8) AS pr FROM r{num_iters}"
+    )
+    return "".join(parts)
+
+
+SQL_LINK_RANK = _link_rank_oracle_sql()
+
+
+def q_hot_hosts(spark, sf_dir):
+    """Hot-host telemetry feeding the skew story: per-host URL counts,
+    share of frontier, and a hot flag (count above the mean) — the
+    signal that sizes the politeness-window salt factor and AQE skew
+    hints at 10^10-URL scale. Two-phase: partial-agg host counts (one
+    narrow shuffle), then a 1-row broadcast of the totals."""
+    pages = pages_from_documents(spark, sf_dir)
+    counts = pages.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    totals = counts.agg(
+        F.sum("n_urls").alias("total"),
+        F.avg("n_urls").alias("avg_n"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.round(F.col("n_urls") / F.col("total"), 6).alias("share"),
+        (F.col("n_urls") > F.col("avg_n")).alias("hot"),
+    )
+
+
+SQL_HOT_HOSTS = (
+    _pages_cte()
+    + """
+    , counts AS (SELECT host, count(*) AS n_urls FROM pages GROUP BY host)
+    , totals AS (SELECT sum(n_urls) AS total, avg(n_urls) AS avg_n FROM counts)
+    SELECT host, n_urls, round(n_urls / cast(total as double), 6) AS share,
+           n_urls > avg_n AS hot
+    FROM counts CROSS JOIN totals
+"""
+)
+
+
+# ===========================================================================
 # Registry
 # ===========================================================================
 
@@ -1850,6 +1954,9 @@ QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "ivf_ann": (q_ivf_ann, SQL_ANN_TOPK),
+    # link-graph centrality + skew telemetry
+    "link_rank": (q_link_rank, SQL_LINK_RANK),
+    "hot_hosts": (q_hot_hosts, SQL_HOT_HOSTS),
     "multimodal_features": (q_multimodal_features, None),
 }
 
