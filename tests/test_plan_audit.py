@@ -274,3 +274,51 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = _formatted(Q.q_pricing_summary(spark, SF_MED))
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_" in plan.lower() or "Partial" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout: the big side of the fetch join must not re-shuffle
+# ---------------------------------------------------------------------------
+
+def test_bucketed_fetch_join_shuffles_probe_side_only(spark, tmp_path):
+    """With web_meta stored bucketed+sorted by url, the per-round fetch
+    join must read the page store Exchange-free — and, with one file
+    per bucket plus the bucketed-scan output-ordering conf, Sort-free:
+    only the scheduled-batch probe side shuffles and sorts. Against
+    plain parquet the same join exchanges BOTH sides — the contrast is
+    the whole point of persisting the layout in the table instead of a
+    session cache."""
+    from news_combinator_spark.datagen import pages_from_documents
+    from news_combinator_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    pages = pages_from_documents(spark, SF_MED).select(
+        "url", "host", "priority"
+    )
+    spark.sql("DROP TABLE IF EXISTS web_meta_bucketed")
+    # one writer task -> one file per bucket, so the sortBy order is a
+    # table-level guarantee the scan may expose as its output ordering
+    write_bucketed(
+        pages.repartition(1), "web_meta_bucketed", "url", 8,
+        path=str(tmp_path / "web_meta_bucketed"),
+    )
+    probe = pages.select("url")
+    ordering_conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(ordering_conf, "true")
+    try:
+        plan = _formatted(colocated_join(spark, "web_meta_bucketed", probe))
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # formatted mode puts the node header and its hashpartitioning
+        # arguments on separate lines; count argument occurrences
+        n_exchanges = len(re.findall(r"hashpartitioning\(", plan))
+        assert n_exchanges == 1, f"expected probe-side-only exchange:\n{plan}"
+        assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+        baseline = _formatted(probe.hint("merge").join(pages, "url"))
+        assert len(re.findall(r"hashpartitioning\(", baseline)) == 2, baseline
+    finally:
+        spark.conf.unset(ordering_conf)
+        spark.sql("DROP TABLE IF EXISTS web_meta_bucketed")
