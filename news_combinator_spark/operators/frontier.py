@@ -155,7 +155,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
 
 def crawl(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     seeds: DataFrame,
     budgets: DataFrame,
     robots: DataFrame | None = None,
@@ -171,6 +171,7 @@ def crawl(
     initial_frontier: DataFrame | None = None,
     initial_seen: DataFrame | None = None,
     fetch_order_base: int = 0,
+    web_table: str | None = None,
 ) -> CrawlResult:
     """Run `rounds` micro-rounds; return every fetched URL with its
     round and the deterministic global fetch_order.
@@ -188,6 +189,11 @@ def crawl(
     `pages` is the web: (url, host, priority, html, ...). Fetch = join
     on url (the sandbox stand-in for the per-host pandas-UDF HTTP
     fetcher); link targets must exist in `pages` (dangling = DNS fail).
+    Alternatively pass `web_table`, the name of a catalog table
+    bucketed by url (operators/bucketing.write_bucketed): the fetch
+    then reads the page store through its persisted bucket layout —
+    Exchange-free on the big side, no session-lifetime cache — which
+    is the production layout for a store shared across crawl jobs.
 
     Scale notes:
     - candidate (host, priority) are looked up from the web once per
@@ -206,17 +212,32 @@ def crawl(
             "nothing left to crawl — raise --rounds or resume an "
             "earlier checkpoint"
         )
-    # The "web" is probed by url every round: pre-partition once on the
-    # join key so each round's fetch/priority lookups co-locate without
-    # a fresh full shuffle of pages.
-    web = pages.select("url", "host", "priority", "html").repartition(
-        spark.sparkContext.defaultParallelism, "url"
-    )
-    web = web.persist()
-    web.count()
-    web_meta = pages.select("url", "host", "priority").repartition(
-        spark.sparkContext.defaultParallelism, "url"
-    ).persist()
+    # The "web" is probed by url every round. Two layouts:
+    # - web_table: a catalog table bucketed by url (operators/
+    #   bucketing.write_bucketed) — the production path. The bucketed
+    #   scan IS the hash partitioning, so every round's fetch and
+    #   priority lookup reads the 10^10-row store Exchange-free with
+    #   no session cache; the layout outlives this job and is shared
+    #   by every crawl against the store.
+    # - pages DataFrame: sandbox path — pre-partition once on the join
+    #   key and persist, so per-round lookups co-locate without a
+    #   fresh full shuffle of pages (the partitioning dies with the
+    #   session, which is why the table layout exists).
+    if web_table is not None:
+        src = spark.table(web_table)
+        web = src.select("url", "host", "priority", "html")
+        web_meta = src.select("url", "host", "priority")
+    else:
+        if pages is None:
+            raise ValueError("crawl() needs either pages or web_table")
+        web = pages.select("url", "host", "priority", "html").repartition(
+            spark.sparkContext.defaultParallelism, "url"
+        )
+        web = web.persist()
+        web.count()
+        web_meta = pages.select("url", "host", "priority").repartition(
+            spark.sparkContext.defaultParallelism, "url"
+        ).persist()
 
     if initial_frontier is not None:
         frontier = initial_frontier.select(*FRONTIER_COLS).localCheckpoint()
@@ -414,7 +435,7 @@ def load_checkpoint(spark: SparkSession, path: str, rnd: int):
 
 def resume_crawl(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     budgets: DataFrame,
     checkpoint_dir: str,
     from_round: int,

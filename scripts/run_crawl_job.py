@@ -46,6 +46,15 @@ def main() -> None:
     ap.add_argument("--out", default="")
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument(
+        "--web-buckets",
+        type=int,
+        default=0,
+        help="materialize the page store as a catalog table bucketed "
+        "by url with this many buckets and fetch through that layout "
+        "(the production path: per-round joins read the store "
+        "Exchange-free); 0 = session-partitioned DataFrame path",
+    )
+    ap.add_argument(
         "--resume-from",
         type=int,
         default=-1,
@@ -68,13 +77,25 @@ def main() -> None:
         [(f"h{i}.test", args.budget) for i in range(args.hosts)],
         "host string, budget int",
     )
+    web_table = None
+    if args.web_buckets > 0:
+        from news_combinator_spark.operators.bucketing import write_bucketed
+
+        web_table = "web_pages_bucketed_job"
+        spark.sql(f"DROP TABLE IF EXISTS {web_table}")
+        write_bucketed(
+            pages.select("url", "host", "priority", "html"),
+            web_table,
+            "url",
+            args.web_buckets,
+        )
     t0 = time.time()
     if args.resume_from >= 0:
         from news_combinator_spark.operators.frontier import resume_crawl
 
         res = resume_crawl(
             spark,
-            pages,
+            None if web_table else pages,
             budgets,
             os.path.join(args.out, "ckpt"),
             from_round=args.resume_from,
@@ -84,11 +105,12 @@ def main() -> None:
             bloom_expected=1_000_000,
             salt_buckets=args.salt_buckets,
             collect_lineage=True,
+            web_table=web_table,
         )
     else:
         res = crawl(
             spark,
-            pages,
+            None if web_table else pages,
             seeds,
             budgets,
             rounds=args.rounds,
@@ -98,6 +120,7 @@ def main() -> None:
             salt_buckets=args.salt_buckets,
             collect_lineage=True,
             checkpoint_dir=os.path.join(args.out, "ckpt") if args.out else None,
+            web_table=web_table,
         )
     n = res.fetched.count()
     wall = time.time() - t0

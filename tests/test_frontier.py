@@ -290,3 +290,34 @@ def test_host_lineage_politeness_audit(crawl_result):
         cap = 2 if row.host == "h0.test" else 3
         assert row.n_fetched <= cap, row
         assert row.first_order <= row.last_order
+
+
+def test_crawl_from_bucketed_table_matches(spark, tmp_path, crawl_result):
+    """web_table path: crawling against the bucketed catalog layout
+    (operators/bucketing.write_bucketed) must reproduce the DataFrame
+    path byte-for-byte — same fetched set, same fetch_order."""
+    from news_combinator_spark.operators.bucketing import write_bucketed
+
+    pages = pages_from_documents(spark, SF_SMALL)
+    spark.sql("DROP TABLE IF EXISTS web_pages_bucketed")
+    write_bucketed(
+        pages.select("url", "host", "priority", "html"),
+        "web_pages_bucketed", "url", 8,
+        path=str(tmp_path / "web_pages_bucketed"),
+    )
+    try:
+        res = crawl(
+            spark,
+            None,
+            seeds_df(spark, pages),
+            budgets_df(spark),
+            robots=robots_df(spark),
+            rounds=CRAWL_ROUNDS,
+            allowed_host_suffix=".test",
+            web_table="web_pages_bucketed",
+        )
+        got = res.fetched.toPandas().sort_values("fetch_order")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS web_pages_bucketed")
+    base = crawl_result.fetched.toPandas().sort_values("fetch_order")
+    assert got.reset_index(drop=True).equals(base.reset_index(drop=True))
