@@ -88,6 +88,10 @@ SQL_BENCH_QUERIES = [
     "v1_cross_source_clusters",
     "dup_span_stats",
     "pack_sequences",
+    "link_rank",
+    "hot_hosts",
+    "snapshot_asof",
+    "domain_mix",
 ]
 
 

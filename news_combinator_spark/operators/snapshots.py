@@ -1,0 +1,84 @@
+"""As-of snapshot selection over a multi-version page store.
+
+A Common-Crawl-style store holds MANY snapshots per url (one per
+crawl, keyed by `warc_ts`). Two operators cover the standard reads:
+
+- `latest_asof`: the store's state as of a fixed timestamp — the
+  batch "give me the web as of crawl X" read that feeds training-data
+  extraction (reference analog: the crawler re-reads the latest
+  on-disk result per url before refetching,
+  reconstruction/crawler/crawler.php:143-190 — here generalized to a
+  timestamped multi-version store).
+- `asof_join`: per-row as-of — each left row (key, ts) picks the
+  latest right snapshot with snapshot-ts <= its own ts, the temporal
+  join Spark lacks as a built-in.
+
+Scale design: both are expressed as equi-join / groupBy + `max_by`
+aggregation — partial-aggregated map-side, one hash shuffle on the
+key, no window over a data-sized unpartitioned frame and no Python.
+Per-url snapshot fan-out is bounded (crawl cadence), so the join
+explosion is a small constant, and a skewed url set salts exactly
+like any groupBy (AQE skew-join applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["latest_asof", "asof_join"]
+
+
+def latest_asof(
+    snaps: DataFrame,
+    asof,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """One row per `key`: the latest snapshot with ts_col <= asof.
+
+    Keys whose snapshots are all later than `asof` are absent (they
+    did not exist yet). Output columns = input columns, values from
+    the selected snapshot. One map-side-combined shuffle.
+    """
+    asof_lit = asof if isinstance(asof, Column) else F.lit(asof)
+    payload = [c for c in snaps.columns if c != key]
+    picked = (
+        snaps.filter(F.col(ts_col) <= asof_lit)
+        .groupBy(key)
+        .agg(F.max_by(F.struct(*payload), F.col(ts_col)).alias("_s"))
+    )
+    return picked.select(key, *[F.col(f"_s.{c}").alias(c) for c in payload])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "url",
+    left_ts: str = "q_ts",
+    right_ts: str = "warc_ts",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal as-of join: each left row gets the latest right row
+    with right_ts <= its left_ts, matched on `key`.
+
+    Left rows must be unique on (key, left_ts) — the natural shape
+    for "what did url U look like at time T" probes. Right payload
+    columns are suffixed nothing (kept as-is); the matched right_ts
+    is kept so callers can compute staleness. `how='left'` keeps
+    probe rows with no eligible snapshot (null payload);
+    `how='inner'` drops them.
+    """
+    payload = [c for c in right.columns if c != key]
+    j = left.select(key, left_ts).join(right, key, "inner").filter(
+        F.col(right_ts) <= F.col(left_ts)
+    )
+    best = (
+        j.groupBy(key, left_ts)
+        .agg(F.max_by(F.struct(*payload), F.col(right_ts)).alias("_s"))
+        .select(
+            key, left_ts,
+            *[F.col(f"_s.{c}").alias(c) for c in payload],
+        )
+    )
+    return left.join(best, [key, left_ts], how)

@@ -33,6 +33,8 @@ from ..operators import similarity as sim
 from ..operators.clustering import cluster_documents
 from ..functions.posfilter import _FUNCTION_WORDS, _PRONOUNS, doc_pos_tags
 from ..operators import linkgraph as lg
+from ..operators import sampling
+from ..operators import snapshots as snap_ops
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
@@ -1897,6 +1899,104 @@ SQL_HOT_HOSTS = (
 
 
 # ===========================================================================
+# Multi-version store reads + deterministic sampling
+# ===========================================================================
+
+def q_snapshot_asof(spark, sf_dir):
+    """As-of read over a multi-version page store: each url carries
+    1 + doc_id%3 snapshots (version v re-crawled at warc_ts + 90min*v);
+    select each url's latest snapshot as of 2024-01-01 06:00. Both
+    branches are exercised at sf0.01: urls first crawled after the
+    cutoff are absent, and urls with several eligible versions pick
+    the latest. One map-side-combined max_by shuffle — no per-url
+    window over an unpartitioned frame
+    (operators/snapshots.latest_asof)."""
+    pages = pages_from_documents(spark, sf_dir)
+    snaps = pages.select(
+        "url",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+        "warc_ts",
+    ).select(
+        "url",
+        F.col("v").cast("int").alias("v"),
+        F.timestamp_add("MINUTE", F.col("v") * 90, F.col("warc_ts")).alias(
+            "snap_ts"
+        ),
+    )
+    picked = snap_ops.latest_asof(
+        snaps,
+        F.lit("2024-01-01 06:00:00").cast("timestamp"),
+        key="url",
+        ts_col="snap_ts",
+    )
+    return picked.select(
+        "url", "v", F.col("snap_ts").cast("long").alias("snap_epoch")
+    )
+
+
+SQL_SNAPSHOT_ASOF = (
+    _pages_cte()
+    + """
+    , snaps AS (
+        SELECT url, CAST(g.v AS INTEGER) AS v,
+               warc_ts + g.v * INTERVAL 90 MINUTE AS snap_ts
+        FROM pages, (SELECT unnest(range(0, 3)) AS v) g
+        WHERE g.v <= doc_id % 3
+    )
+    , eligible AS (
+        SELECT * FROM snaps
+        WHERE snap_ts <= TIMESTAMP '2024-01-01 06:00:00'
+    )
+    , ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY url ORDER BY snap_ts DESC
+        ) AS rn
+        FROM eligible
+    )
+    SELECT url, v, CAST(epoch(snap_ts) AS BIGINT) AS snap_epoch
+    FROM ranked WHERE rn = 1
+"""
+)
+
+
+def q_domain_mix(spark, sf_dir):
+    """Deterministic quota-balanced domain sampling: keep ~40% of the
+    corpus with every host given an equal share of the budget, capped
+    at its size. Membership is a pure function of md5(url)
+    (operators/sampling.stratified_sample), so the exact kept set is
+    reproducible across engines — the oracle recomputes it row for
+    row."""
+    pages = pages_from_documents(spark, sf_dir).select("url", "host")
+    kept = sampling.stratified_sample(
+        pages, group_col="host", id_col="url", target_frac=0.4
+    )
+    return kept.select("url", "host", F.round("rate", 6).alias("rate"))
+
+
+SQL_DOMAIN_MIX = (
+    _pages_cte()
+    + """
+    , counts AS (SELECT host, count(*) AS n_g FROM pages GROUP BY host)
+    , totals AS (
+        SELECT sum(n_g) AS total, count(*) AS n_groups FROM counts
+    )
+    , rates AS (
+        SELECT host,
+               least(1.0, 0.4 * total / (n_groups * n_g)) AS rate
+        FROM counts CROSS JOIN totals
+    )
+    SELECT url, p.host, round(rate, 6) AS rate
+    FROM pages p JOIN rates r ON p.host = r.host
+    WHERE rate >= 1.0
+       OR substr(md5(url), 1, 13) <
+          lpad(lower(to_hex(CAST(floor(rate * 4503599627370496.0) AS BIGINT))), 13, '0')
+"""
+)
+
+
+# ===========================================================================
 # Registry
 # ===========================================================================
 
@@ -1957,6 +2057,9 @@ QUERIES = {
     # link-graph centrality + skew telemetry
     "link_rank": (q_link_rank, SQL_LINK_RANK),
     "hot_hosts": (q_hot_hosts, SQL_HOT_HOSTS),
+    # multi-version store reads + deterministic sampling
+    "snapshot_asof": (q_snapshot_asof, SQL_SNAPSHOT_ASOF),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "multimodal_features": (q_multimodal_features, None),
 }
 

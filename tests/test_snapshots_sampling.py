@@ -1,0 +1,157 @@
+"""As-of snapshot reads (operators/snapshots) and deterministic
+stratified sampling (operators/sampling) vs independent oracles:
+pandas merge_asof for the temporal join, hashlib-recomputed membership
+for the sampler."""
+
+import datetime as dt
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from news_combinator_spark.operators.sampling import stratified_sample
+from news_combinator_spark.operators.snapshots import asof_join, latest_asof
+
+
+def _snap_rows():
+    """Deterministic multi-version fixture: 8 urls, 1-4 snapshots each,
+    1h apart starting at a per-url offset."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(8):
+        for v in range(1 + i % 4):
+            rows.append(
+                (
+                    f"http://h{i % 3}.test/p{i}",
+                    base + dt.timedelta(minutes=17 * i + 60 * v),
+                    v,
+                    100 * i + v,
+                )
+            )
+    return rows
+
+
+def test_latest_asof_matches_pandas(spark):
+    rows = _snap_rows()
+    snaps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, v int, payload int"
+    )
+    cutoff = dt.datetime(2024, 1, 1, 1, 30)
+    got = (
+        latest_asof(snaps, F.lit(cutoff))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "v", "payload"])
+    exp = (
+        pdf[pdf.warc_ts <= cutoff]
+        .sort_values("warc_ts")
+        .groupby("url", as_index=False)
+        .last()[["url", "warc_ts", "v", "payload"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0 and len(exp) < len(pdf)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_matches_merge_asof(spark):
+    rows = _snap_rows()
+    snaps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, v int, payload int"
+    )
+    base = dt.datetime(2024, 1, 1)
+    probes = [
+        (f"http://h{i % 3}.test/p{i}", base + dt.timedelta(minutes=m))
+        for i in range(8)
+        for m in (0, 45, 150, 600)
+    ]
+    left = spark.createDataFrame(probes, "url string, q_ts timestamp")
+    got = (
+        asof_join(left, snaps, key="url", left_ts="q_ts", right_ts="warc_ts")
+        .toPandas()
+        .sort_values(["url", "q_ts"])
+        .reset_index(drop=True)[["url", "q_ts", "warc_ts", "v", "payload"]]
+    )
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "v", "payload"])
+    lpdf = pd.DataFrame(probes, columns=["url", "q_ts"])
+    exp = pd.merge_asof(
+        lpdf.sort_values("q_ts"),
+        pdf.sort_values("warc_ts"),
+        left_on="q_ts",
+        right_on="warc_ts",
+        by="url",
+        direction="backward",
+    ).sort_values(["url", "q_ts"]).reset_index(drop=True)[
+        ["url", "q_ts", "warc_ts", "v", "payload"]
+    ]
+    # both matched and unmatched probes must exist in the fixture
+    assert exp.warc_ts.isna().any() and exp.warc_ts.notna().any()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    rows = _snap_rows()
+    snaps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, v int, payload int"
+    )
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("http://h0.test/p0", base - dt.timedelta(hours=1)),
+         ("http://h0.test/p0", base + dt.timedelta(hours=9))],
+        "url string, q_ts timestamp",
+    )
+    got = asof_join(left, snaps, how="inner").toPandas()
+    assert len(got) == 1 and got.iloc[0].v == 0
+
+
+def _expected_sample(pdf, target_frac):
+    """Recompute stratified_sample membership with hashlib."""
+    n = pdf.groupby("host").size()
+    total, n_groups = len(pdf), len(n)
+    keep = []
+    for _, row in pdf.iterrows():
+        rate = min(1.0, target_frac * total / (n_groups * n[row.host]))
+        if rate >= 1.0:
+            keep.append(True)
+            continue
+        thr = format(int(rate * (1 << 52)), "x").rjust(13, "0")
+        keep.append(hashlib.md5(row.url.encode()).hexdigest()[:13] < thr)
+    return pdf[pd.Series(keep, index=pdf.index)]
+
+
+def test_stratified_sample_exact_membership(spark):
+    # skewed groups: h0 huge, h1 medium, h2 tiny (kept fully)
+    rows = (
+        [(f"http://h0.test/{i}", "h0") for i in range(300)]
+        + [(f"http://h1.test/{i}", "h1") for i in range(80)]
+        + [(f"http://h2.test/{i}", "h2") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = stratified_sample(df, "host", "url", 0.3)
+    gp = got.toPandas().sort_values("url").reset_index(drop=True)
+    exp = _expected_sample(
+        pd.DataFrame(rows, columns=["url", "host"]), 0.3
+    ).sort_values("url").reset_index(drop=True)
+    assert list(gp.url) == list(exp.url)
+    # tiny group kept in full; huge group sampled down
+    by = gp.groupby("host").size()
+    assert by.get("h2", 0) == 5
+    assert 0 < by["h0"] < 300
+
+
+def test_stratified_sample_partition_invariant(spark):
+    rows = [(f"http://h{i % 4}.test/{i}", f"h{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    a = set(
+        r.url
+        for r in stratified_sample(df, "host", "url", 0.25).collect()
+    )
+    b = set(
+        r.url
+        for r in stratified_sample(
+            df.repartition(13), "host", "url", 0.25
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < 400
