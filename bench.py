@@ -92,6 +92,7 @@ SQL_BENCH_QUERIES = [
     "hot_hosts",
     "snapshot_asof",
     "domain_mix",
+    "robots_rules",
 ]
 
 

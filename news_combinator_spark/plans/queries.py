@@ -35,6 +35,7 @@ from ..functions.posfilter import _FUNCTION_WORDS, _PRONOUNS, doc_pos_tags
 from ..operators import linkgraph as lg
 from ..operators import sampling
 from ..operators import snapshots as snap_ops
+from ..functions.robots import rules_from_robots_txt
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
@@ -1996,6 +1997,95 @@ SQL_DOMAIN_MIX = (
 )
 
 
+def q_robots_rules(spark, sf_dir):
+    """Parse RAW robots.txt bodies into the frontier's gate rules
+    (functions/robots.rules_from_robots_txt) — multi-UA groups,
+    comments, blank lines, Allow lines, and empty Disallow all
+    exercised; per host the '*' group yields exactly its two
+    non-empty Disallow prefixes. The oracle replicates the full parse
+    (line split -> group segmentation via lag+cumsum -> star-group
+    join) in SQL over the same synthesized bodies."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    robots = pages.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("User-agent: fetchbot\nDisallow: /secret\n\n"),
+            F.lit("User-agent: helper\nUser-agent: *\nDisallow: /a/"),
+            (F.lit(20240101) + hn % 3).cast("string"),
+            F.lit(
+                "\n# maintenance notes\nAllow: /img\nDisallow:\n"
+                "Disallow: /tmp/"
+            ),
+            hn.cast("string"),
+        ).alias("robots_txt"),
+    )
+    return rules_from_robots_txt(robots).select(
+        "host", "path_prefix", "disallow_prefix"
+    )
+
+
+SQL_ROBOTS_RULES = (
+    _pages_cte()
+    + r"""
+    , hosts AS (
+        SELECT DISTINCT host,
+               CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) AS hn
+        FROM pages
+    )
+    , robots AS (
+        SELECT host,
+          'User-agent: fetchbot' || chr(10) || 'Disallow: /secret'
+          || chr(10) || chr(10)
+          || 'User-agent: helper' || chr(10) || 'User-agent: *'
+          || chr(10) || 'Disallow: /a/'
+          || CAST(20240101 + hn % 3 AS VARCHAR) || chr(10)
+          || '# maintenance notes' || chr(10) || 'Allow: /img'
+          || chr(10) || 'Disallow:' || chr(10)
+          || 'Disallow: /tmp/' || CAST(hn AS VARCHAR) AS txt
+        FROM hosts
+    )
+    , lines AS (
+        SELECT host, u.pos,
+               trim(regexp_replace(u.raw, '#.*', '')) AS line
+        FROM robots, LATERAL (
+            SELECT unnest(regexp_split_to_array(txt, chr(10))) AS raw,
+                   generate_subscripts(
+                       regexp_split_to_array(txt, chr(10)), 1
+                   ) AS pos
+        ) u
+    )
+    , typed AS (
+        SELECT host, pos,
+               starts_with(lower(line), 'user-agent:') AS is_ua,
+               starts_with(lower(line), 'disallow:') AS is_dis,
+               trim(substr(line, strpos(line, ':') + 1)) AS value
+        FROM lines WHERE length(line) > 0
+    )
+    , lagged AS (
+        SELECT *, coalesce(
+                   lag(is_ua) OVER (PARTITION BY host ORDER BY pos),
+                   false) AS prev_ua
+        FROM typed
+    )
+    , grouped AS (
+        SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY pos) AS group_id
+        FROM lagged
+    )
+    , star AS (
+        SELECT DISTINCT host, group_id FROM grouped
+        WHERE is_ua AND lower(value) = '*'
+    )
+    SELECT DISTINCT g.host, g.value AS path_prefix,
+           'http://' || g.host || g.value AS disallow_prefix
+    FROM grouped g
+    JOIN star s ON g.host = s.host AND g.group_id = s.group_id
+    WHERE g.is_dis AND length(g.value) > 0
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2060,6 +2150,7 @@ QUERIES = {
     # multi-version store reads + deterministic sampling
     "snapshot_asof": (q_snapshot_asof, SQL_SNAPSHOT_ASOF),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "multimodal_features": (q_multimodal_features, None),
 }
 

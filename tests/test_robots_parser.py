@@ -1,0 +1,82 @@
+"""robots.txt parser vs the stdlib's urllib.robotparser, plus
+end-to-end gating through frontier.apply_robots."""
+
+import urllib.robotparser
+
+from pyspark.sql import functions as F
+
+from news_combinator_spark.functions.robots import rules_from_robots_txt
+from news_combinator_spark.operators.frontier import apply_robots
+
+# No Allow lines (the parser drops them by documented deviation);
+# everything else a real file has: multi-UA groups, comments, blank
+# lines, empty Disallow, agent-specific groups, colon in a prefix.
+_TXT = """# robots for example host
+User-agent: fetchbot
+Disallow: /private
+
+User-agent: helper
+User-agent: *
+Disallow: /a/2024
+Disallow: /tmp:scratch/
+Disallow:
+
+User-agent: other
+Disallow: /elsewhere
+"""
+
+_PATHS = [
+    "/private/x",
+    "/a/2024/doc.htm",
+    "/a/2023/doc.htm",
+    "/tmp:scratch/y",
+    "/elsewhere/z",
+    "/",
+]
+
+
+def test_star_rules_match_urllib_robotparser(spark):
+    robots = spark.createDataFrame(
+        [("h9.test", _TXT)], "host string, robots_txt string"
+    )
+    rules = rules_from_robots_txt(robots).toPandas()
+    prefixes = sorted(rules.path_prefix)
+    assert prefixes == ["/a/2024", "/tmp:scratch/"]
+
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(_TXT.splitlines())
+    for path in _PATHS:
+        expected = rp.can_fetch("*", f"http://h9.test{path}")
+        got = not any(path.startswith(p) for p in prefixes)
+        assert got == expected, path
+
+
+def test_agent_specific_group(spark):
+    robots = spark.createDataFrame(
+        [("h9.test", _TXT)], "host string, robots_txt string"
+    )
+    rules = rules_from_robots_txt(robots, agent="fetchbot").toPandas()
+    assert sorted(rules.path_prefix) == ["/private"]
+
+
+def test_parsed_rules_gate_candidates(spark):
+    robots = spark.createDataFrame(
+        [("h9.test", _TXT)], "host string, robots_txt string"
+    )
+    rules = rules_from_robots_txt(robots).select("host", "disallow_prefix")
+    cand = spark.createDataFrame(
+        [(f"http://h9.test{p}", "h9.test", 0) for p in _PATHS],
+        "url string, host string, priority int",
+    )
+    kept = sorted(
+        r.url for r in apply_robots(cand, rules).collect()
+    )
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(_TXT.splitlines())
+    expected = sorted(
+        f"http://h9.test{p}"
+        for p in _PATHS
+        if rp.can_fetch("*", f"http://h9.test{p}")
+    )
+    assert kept == expected
+    assert 0 < len(kept) < len(_PATHS)
