@@ -225,6 +225,9 @@ _LAZY_QUERIES = [
     "decontaminate", "corpus_stats", "filter_funnel",
     "lm_nll", "v1_cross_source_clusters", "duplicated_spans",
     "dup_span_stats", "pack_sequences",
+    # round-2 additions (link_rank excluded: page_rank iterates
+    # eagerly via localCheckpoint, audited in test_linkgraph)
+    "hot_hosts", "snapshot_asof", "domain_mix", "robots_rules",
 ]
 
 
