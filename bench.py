@@ -93,6 +93,9 @@ SQL_BENCH_QUERIES = [
     "snapshot_asof",
     "domain_mix",
     "robots_rules",
+    "crawl_diff",
+    "crawl_delay_budgets",
+    "host_quality_filter",
 ]
 
 

@@ -31,20 +31,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rules_from_robots_txt"]
+__all__ = [
+    "rules_from_robots_txt",
+    "crawl_delays_from_robots_txt",
+    "budgets_from_delays",
+]
 
 
-def rules_from_robots_txt(
+def _agent_group_lines(
     robots: DataFrame,
-    agent: str = "*",
-    host_col: str = "host",
-    txt_col: str = "robots_txt",
+    agent: str,
+    host_col: str,
+    txt_col: str,
 ) -> DataFrame:
-    """(host, robots_txt) -> distinct disallow rules applying to
-    `agent`: (host, path_prefix, disallow_prefix), where path_prefix
-    is the literal Disallow value and disallow_prefix is the full-URL
-    form ('http://' || host || path) that `frontier.apply_robots`
-    matches candidate urls against."""
+    """Parse bodies into per-line rows restricted to the groups that
+    apply to `agent`: (host, pos, is_ua, directive, value)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
@@ -57,7 +58,12 @@ def rules_from_robots_txt(
         "host",
         "pos",
         F.startswith(F.lower("line"), F.lit("user-agent:")).alias("is_ua"),
-        F.startswith(F.lower("line"), F.lit("disallow:")).alias("is_dis"),
+        # directive = lowercased name before the first colon; a line
+        # with no colon is not a directive at all
+        F.when(
+            F.expr("instr(line, ':')") > 0,
+            F.lower(F.trim(F.substring_index("line", ":", 1))),
+        ).otherwise(F.lit("")).alias("directive"),
         # value = everything after the FIRST colon (a prefix may
         # itself contain colons)
         F.trim(
@@ -79,13 +85,80 @@ def rules_from_robots_txt(
         .select("host", "group_id")
         .distinct()
     )
-    rules = grouped.filter(F.col("is_dis") & (F.length("value") > 0))
+    return grouped.join(agent_groups, ["host", "group_id"])
+
+
+def rules_from_robots_txt(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> distinct disallow rules applying to
+    `agent`: (host, path_prefix, disallow_prefix), where path_prefix
+    is the literal Disallow value and disallow_prefix is the full-URL
+    form ('http://' || host || path) that `frontier.apply_robots`
+    matches candidate urls against."""
+    g = _agent_group_lines(robots, agent, host_col, txt_col)
     return (
-        rules.join(agent_groups, ["host", "group_id"])
+        g.filter((F.col("directive") == "disallow") & (F.length("value") > 0))
         .select("host", F.col("value").alias("path_prefix"))
         .distinct()
         .withColumn(
             "disallow_prefix",
             F.concat(F.lit("http://"), F.col("host"), F.col("path_prefix")),
+        )
+    )
+
+
+def crawl_delays_from_robots_txt(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay double) from
+    `Crawl-delay:` directives in the groups applying to `agent`.
+    When several values apply, the politest (MAX) delay wins. Hosts
+    without a parseable positive delay are absent (callers fall back
+    to their default budget); non-numeric values are dropped."""
+    g = _agent_group_lines(robots, agent, host_col, txt_col)
+    delays = g.filter(F.col("directive") == "crawl-delay").select(
+        "host",
+        # try_cast: a malformed delay is dropped, not a query error
+        F.expr("try_cast(value AS double)").alias("crawl_delay"),
+    ).filter(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
+    return delays.groupBy("host").agg(
+        F.max("crawl_delay").alias("crawl_delay")
+    )
+
+
+def budgets_from_delays(
+    delays: DataFrame,
+    round_seconds: float,
+    default_budget: int,
+    hosts: DataFrame | None = None,
+) -> DataFrame:
+    """Turn crawl delays into the per-round politeness budgets the
+    frontier's `schedule_per_host` consumes: budget = max(1,
+    floor(round_seconds / delay)). When `hosts` (a 1-column host
+    frame) is given, hosts without a delay get `default_budget`;
+    otherwise only delayed hosts are returned."""
+    budgets = delays.select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
+        ).cast("int").alias("budget"),
+    )
+    if hosts is None:
+        return budgets
+    return (
+        hosts.select("host")
+        .distinct()
+        .join(budgets, "host", "left")
+        .select(
+            "host",
+            F.coalesce("budget", F.lit(default_budget)).alias("budget"),
         )
     )

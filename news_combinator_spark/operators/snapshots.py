@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["latest_asof", "asof_join"]
+__all__ = ["latest_asof", "asof_join", "snapshot_diff"]
 
 
 def latest_asof(
@@ -82,3 +82,47 @@ def asof_join(
         )
     )
     return left.join(best, [key, left_ts], how)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    cmp_cols: tuple[str, ...] = ("v",),
+) -> DataFrame:
+    """Classify keys between two store states (e.g. two `latest_asof`
+    reads): 'new' (only in `new`), 'gone' (only in `old`), 'changed'
+    (present in both, any cmp_col differs — null-safe), 'unchanged'.
+
+    This is the re-crawl scheduling read: 'changed' + 'new' keys go
+    back into the frontier, 'gone' keys age out of the index. One
+    full-outer hash join on the key; cmp_cols should be cheap content
+    proxies (version, content hash, length), not the payload itself.
+    Output: key, status, old_/new_-prefixed cmp_cols.
+    """
+    o = old.select(
+        key,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        key,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, key, "full")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("new"))
+        .when(F.col("_in_new").isNull(), F.lit("gone"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        key,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in cmp_cols],
+        *[F.col(f"new_{c}") for c in cmp_cols],
+    )

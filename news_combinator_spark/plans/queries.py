@@ -35,6 +35,7 @@ from ..functions.posfilter import _FUNCTION_WORDS, _PRONOUNS, doc_pos_tags
 from ..operators import linkgraph as lg
 from ..operators import sampling
 from ..operators import snapshots as snap_ops
+from ..functions import robots as rb
 from ..functions.robots import rules_from_robots_txt
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
@@ -1912,20 +1913,7 @@ def q_snapshot_asof(spark, sf_dir):
     the latest. One map-side-combined max_by shuffle — no per-url
     window over an unpartitioned frame
     (operators/snapshots.latest_asof)."""
-    pages = pages_from_documents(spark, sf_dir)
-    snaps = pages.select(
-        "url",
-        F.explode(
-            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
-        ).alias("v"),
-        "warc_ts",
-    ).select(
-        "url",
-        F.col("v").cast("int").alias("v"),
-        F.timestamp_add("MINUTE", F.col("v") * 90, F.col("warc_ts")).alias(
-            "snap_ts"
-        ),
-    )
+    snaps = _snaps_df(spark, sf_dir)
     picked = snap_ops.latest_asof(
         snaps,
         F.lit("2024-01-01 06:00:00").cast("timestamp"),
@@ -2086,6 +2074,179 @@ SQL_ROBOTS_RULES = (
 )
 
 
+def _snaps_df(spark, sf_dir):
+    """Shared multi-version store fixture (see q_snapshot_asof)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+        "warc_ts",
+    ).select(
+        "url",
+        F.col("v").cast("int").alias("v"),
+        F.timestamp_add("MINUTE", F.col("v") * 90, F.col("warc_ts")).alias(
+            "snap_ts"
+        ),
+    )
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Re-crawl change detection: diff the store's state between two
+    as-of reads (03:00 vs 06:00). 'new' urls entered the store in the
+    window, 'changed' urls picked a later version, 'unchanged' kept
+    the same one ('gone' cannot occur in an append-only store; the
+    operator handles it — pytest covers that branch). One full-outer
+    hash join over the two max_by reads
+    (operators/snapshots.snapshot_diff)."""
+    snaps = _snaps_df(spark, sf_dir)
+    s1 = snap_ops.latest_asof(
+        snaps, F.lit("2024-01-01 03:00:00").cast("timestamp"),
+        key="url", ts_col="snap_ts",
+    ).select("url", "v")
+    s2 = snap_ops.latest_asof(
+        snaps, F.lit("2024-01-01 06:00:00").cast("timestamp"),
+        key="url", ts_col="snap_ts",
+    ).select("url", "v")
+    return snap_ops.snapshot_diff(s1, s2, key="url", cmp_cols=("v",))
+
+
+SQL_CRAWL_DIFF = (
+    _pages_cte()
+    + """
+    , snaps AS (
+        SELECT url, CAST(g.v AS INTEGER) AS v,
+               warc_ts + g.v * INTERVAL 90 MINUTE AS snap_ts
+        FROM pages, (SELECT unnest(range(0, 3)) AS v) g
+        WHERE g.v <= doc_id % 3
+    )
+    , s1 AS (
+        SELECT url, v FROM (
+            SELECT url, v, row_number() OVER (
+                PARTITION BY url ORDER BY snap_ts DESC) AS rn
+            FROM snaps WHERE snap_ts <= TIMESTAMP '2024-01-01 03:00:00'
+        ) WHERE rn = 1
+    )
+    , s2 AS (
+        SELECT url, v FROM (
+            SELECT url, v, row_number() OVER (
+                PARTITION BY url ORDER BY snap_ts DESC) AS rn
+            FROM snaps WHERE snap_ts <= TIMESTAMP '2024-01-01 06:00:00'
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(s1.url, s2.url) AS url,
+           CASE WHEN s1.url IS NULL THEN 'new'
+                WHEN s2.url IS NULL THEN 'gone'
+                WHEN s1.v IS DISTINCT FROM s2.v THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           s1.v AS old_v, s2.v AS new_v
+    FROM s1 FULL OUTER JOIN s2 ON s1.url = s2.url
+"""
+)
+
+
+def q_crawl_delay_budgets(spark, sf_dir):
+    """Crawl-delay directives -> per-round politeness budgets: parse
+    Crawl-delay from the star group of each host's robots body
+    (functions/robots.crawl_delays_from_robots_txt), convert with
+    budget = max(1, floor(round_seconds / delay)), hosts without a
+    delay fall back to the default. A bot-group Crawl-delay must be
+    ignored. The oracle derives the expected budgets from the body
+    generation rule — a parse error on either directive or group
+    attribution mismatches."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    hosts = pages.select("host").distinct()
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: fetchbot\nCrawl-delay: 99\n"
+                  "Disallow: /secret\n\nUser-agent: *\nDisallow: /x\n"),
+            F.when(
+                hn % 5 != 0,
+                F.concat(
+                    F.lit("Crawl-delay: "), (1 + hn % 4).cast("string")
+                ),
+            ).otherwise(F.lit("# no delay")),
+        ).alias("robots_txt"),
+    )
+    delays = rb.crawl_delays_from_robots_txt(robots)
+    return rb.budgets_from_delays(
+        delays, round_seconds=30, default_budget=5, hosts=hosts
+    )
+
+
+SQL_CRAWL_DELAY_BUDGETS = (
+    _pages_cte()
+    + r"""
+    , hosts AS (
+        SELECT DISTINCT host,
+               CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) AS hn
+        FROM pages
+    )
+    SELECT host,
+           CASE WHEN hn % 5 = 0 THEN 5
+                ELSE greatest(1, CAST(floor(30.0 / (1 + hn % 4)) AS INT))
+           END AS budget
+    FROM hosts
+"""
+)
+
+
+def q_host_quality_filter(spark, sf_dir):
+    """Domain-level curation (C4/RefinedWeb-style): keep documents
+    whose HOST's mean token count reaches the corpus-wide per-doc
+    mean — whole low-quality domains drop at once. Two map-side-
+    combined aggregations (per-host and 1-row corpus), both broadcast
+    back; the doc-level pass is a broadcast semi-join, so nothing
+    data-sized shuffles."""
+    pages = pages_from_documents(spark, sf_dir).select("url", "host", "text")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    toks = pages.select("url", "host", n_tok.alias("n_tok"))
+    per_host = toks.groupBy("host").agg(
+        F.sum("n_tok").alias("tok_h"), F.count(F.lit(1)).alias("n_h")
+    )
+    corpus = toks.agg(
+        F.sum("n_tok").alias("tok_all"), F.count(F.lit(1)).alias("n_all")
+    )
+    passing = (
+        per_host.crossJoin(F.broadcast(corpus))
+        .filter(
+            F.col("tok_h") / F.col("n_h")
+            >= F.col("tok_all") / F.col("n_all")
+        )
+        .select("host")
+    )
+    return toks.join(F.broadcast(passing), "host", "semi").select(
+        "url", "host", "n_tok"
+    )
+
+
+SQL_HOST_QUALITY_FILTER = (
+    _pages_cte()
+    + """
+    , toks AS (
+        SELECT url, host,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM pages
+    )
+    , per_host AS (
+        SELECT host, sum(n_tok) AS tok_h, count(*) AS n_h
+        FROM toks GROUP BY host
+    )
+    , corpus AS (SELECT sum(n_tok) AS tok_all, count(*) AS n_all FROM toks)
+    , passing AS (
+        SELECT host FROM per_host CROSS JOIN corpus
+        WHERE tok_h / CAST(n_h AS DOUBLE)
+              >= tok_all / CAST(n_all AS DOUBLE)
+    )
+    SELECT url, t.host, n_tok
+    FROM toks t JOIN passing p ON t.host = p.host
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2151,6 +2312,9 @@ QUERIES = {
     "snapshot_asof": (q_snapshot_asof, SQL_SNAPSHOT_ASOF),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
+    "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
+    "crawl_delay_budgets": (q_crawl_delay_budgets, SQL_CRAWL_DELAY_BUDGETS),
+    "host_quality_filter": (q_host_quality_filter, SQL_HOST_QUALITY_FILTER),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -228,6 +228,7 @@ _LAZY_QUERIES = [
     # round-2 additions (link_rank excluded: page_rank iterates
     # eagerly via localCheckpoint, audited in test_linkgraph)
     "hot_hosts", "snapshot_asof", "domain_mix", "robots_rules",
+    "crawl_diff", "crawl_delay_budgets", "host_quality_filter",
 ]
 
 

@@ -80,3 +80,41 @@ def test_parsed_rules_gate_candidates(spark):
     )
     assert kept == expected
     assert 0 < len(kept) < len(_PATHS)
+
+
+def test_crawl_delays_group_attribution_and_max(spark):
+    from news_combinator_spark.functions.robots import (
+        budgets_from_delays,
+        crawl_delays_from_robots_txt,
+    )
+
+    txt_a = (
+        "User-agent: fetchbot\nCrawl-delay: 99\n\n"
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: helper\nUser-agent: *\nCrawl-delay: 5\n"
+    )
+    txt_b = "User-agent: *\nCrawl-delay: soon\nDisallow: /y\n"  # unparseable
+    txt_c = "User-agent: *\nDisallow: /z\n"  # no delay at all
+    robots = spark.createDataFrame(
+        [("a.test", txt_a), ("b.test", txt_b), ("c.test", txt_c)],
+        "host string, robots_txt string",
+    )
+    delays = {
+        r.host: r.crawl_delay
+        for r in crawl_delays_from_robots_txt(robots).collect()
+    }
+    # bot-group 99 ignored; max(2, 5) across applicable star groups;
+    # unparseable and absent delays yield no row
+    assert delays == {"a.test": 5.0}
+
+    hosts = robots.select("host")
+    budgets = {
+        r.host: r.budget
+        for r in budgets_from_delays(
+            crawl_delays_from_robots_txt(robots),
+            round_seconds=30,
+            default_budget=7,
+            hosts=hosts,
+        ).collect()
+    }
+    assert budgets == {"a.test": 6, "b.test": 7, "c.test": 7}

@@ -155,3 +155,24 @@ def test_stratified_sample_partition_invariant(spark):
         ).collect()
     )
     assert a == b and 0 < len(a) < 400
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from news_combinator_spark.operators.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", 0), ("u2", 1), ("u3", 0)], "url string, v int"
+    )
+    new = spark.createDataFrame(
+        [("u2", 2), ("u3", 0), ("u4", 0)], "url string, v int"
+    )
+    got = {
+        r.url: (r.status, r.old_v, r.new_v)
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u1": ("gone", 0, None),
+        "u2": ("changed", 1, 2),
+        "u3": ("unchanged", 0, 0),
+        "u4": ("new", None, 0),
+    }
