@@ -96,6 +96,7 @@ SQL_BENCH_QUERIES = [
     "crawl_diff",
     "crawl_delay_budgets",
     "host_quality_filter",
+    "sitemap_urls",
 ]
 
 

@@ -36,6 +36,7 @@ from ..operators import linkgraph as lg
 from ..operators import sampling
 from ..operators import snapshots as snap_ops
 from ..functions import robots as rb
+from ..functions import sitemap as sm
 from ..functions.robots import rules_from_robots_txt
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
@@ -2247,6 +2248,72 @@ SQL_HOST_QUALITY_FILTER = (
 )
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery channel: synthesize one sitemap.xml per host
+    from its pages (ordered aggregation — the A4 machinery), then
+    parse it back with functions/sitemap.urls_from_sitemap. Per host
+    the body also carries one malformed-lastmod entry class (epoch
+    null) and one loc-less entry (dropped), so both error paths are
+    under the hash gate. All generation and parsing is JVM
+    regexp/agg; the oracle round-trips the same XML in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"), F.lit("</loc><lastmod>"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("soon")).otherwise(
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
+        ),
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        pages.select("host", entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("<url><lastmod>2024-01-01</lastmod></url></urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    parsed = sm.urls_from_sitemap(sitemaps)
+    return parsed.select(
+        "host", "loc", F.col("lastmod").cast("long").alias("lastmod_epoch")
+    )
+
+
+SQL_SITEMAP_URLS = (
+    _pages_cte()
+    + """
+    , entries AS (
+        SELECT host,
+               '<url><loc>' || url || '</loc><lastmod>' ||
+               CASE WHEN doc_id % 10 = 0 THEN 'soon'
+                    ELSE strftime(warc_ts, '%Y-%m-%dT%H:%M:%S') END ||
+               '</lastmod></url>' AS entry
+        FROM pages
+    )
+    , sm AS (
+        SELECT host,
+               '<urlset>' || string_agg(entry, '' ORDER BY entry) ||
+               '<url><lastmod>2024-01-01</lastmod></url></urlset>' AS xml
+        FROM entries GROUP BY host
+    )
+    , blocks AS (
+        SELECT host,
+               unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+        FROM sm
+    )
+    SELECT host,
+           regexp_extract(entry, '<loc>(.*?)</loc>', 1) AS loc,
+           CAST(epoch(try_cast(
+               regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1)
+               AS TIMESTAMP)) AS BIGINT) AS lastmod_epoch
+    FROM blocks
+    WHERE length(regexp_extract(entry, '<loc>(.*?)</loc>', 1)) > 0
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2315,6 +2382,7 @@ QUERIES = {
     "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
     "crawl_delay_budgets": (q_crawl_delay_budgets, SQL_CRAWL_DELAY_BUDGETS),
     "host_quality_filter": (q_host_quality_filter, SQL_HOST_QUALITY_FILTER),
+    "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "multimodal_features": (q_multimodal_features, None),
 }
 
