@@ -97,6 +97,7 @@ SQL_BENCH_QUERIES = [
     "crawl_delay_budgets",
     "host_quality_filter",
     "sitemap_urls",
+    "token_budget_mix",
 ]
 
 

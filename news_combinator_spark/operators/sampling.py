@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["keep_hash", "stratified_sample"]
+__all__ = ["keep_hash", "stratified_sample", "token_budget_mix"]
 
 # 13 hex digits = 52 bits: exact in a double, so the threshold
 # floor(rate * 2**52) is reproducible anywhere IEEE doubles are.
@@ -92,3 +92,46 @@ def stratified_sample(
         (F.col("rate") >= 1.0) | (keep_hash(id_col) < _threshold(F.col("rate")))
     )
     return kept
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    shares: dict[str, float],
+    budget_frac: float,
+) -> DataFrame:
+    """Token-weighted mix targeting: sample each group so its share of
+    the kept TOKENS approaches `shares[group]` of a total budget of
+    `budget_frac * sum(tokens)` — the "X% web, Y% code, Z% books by
+    token count" recipe of LLM pre-training mixes.
+
+    Per-group rate = min(1, share * budget_frac * total_tokens /
+    group_tokens); groups absent from `shares` are dropped (weight
+    zero). Membership is the same md5-threshold test as
+    `stratified_sample`, so the exact kept set is reproducible and a
+    group whose rate clamps at 1 keeps every row. Two tiny
+    aggregations + broadcast joins; the row decision is pure JVM.
+    """
+    spark = df.sparkSession
+    shares_df = spark.createDataFrame(
+        list(shares.items()), f"{group_col} string, share double"
+    )
+    tok_g = df.groupBy(group_col).agg(F.sum(tokens_col).alias("tok_g"))
+    total = df.agg(F.sum(tokens_col).alias("tok_all"))
+    rates = (
+        tok_g.join(F.broadcast(shares_df), group_col, "inner")
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.col("share") * F.lit(budget_frac) * F.col("tok_all")
+                / F.col("tok_g"),
+            ).alias("rate"),
+        )
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        (F.col("rate") >= 1.0) | (keep_hash(id_col) < _threshold(F.col("rate")))
+    )

@@ -2314,6 +2314,61 @@ SQL_SITEMAP_URLS = (
 )
 
 
+_MIX_SHARES = {"en": 0.2, "zh": 0.4, "es": 0.2, "de": 0.1, "fr": 0.1}
+_MIX_BUDGET = 0.5
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """LLM pre-training mix targeting by TOKENS: sample each language
+    toward a target share of a 50%-of-corpus token budget
+    (operators/sampling.token_budget_mix). At sf0.01 zh's rate clamps
+    at 1 (its target exceeds its volume) while the others sample down
+    — both branches under the hash gate. Identifier-hash membership:
+    the oracle recomputes the exact kept set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    with_tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.col("doc_id").cast("string").alias("id_str"),
+    )
+    kept = sampling.token_budget_mix(
+        with_tok,
+        group_col="lang",
+        id_col="id_str",
+        tokens_col="n_tok",
+        shares=_MIX_SHARES,
+        budget_frac=_MIX_BUDGET,
+    )
+    return kept.select(
+        "doc_id", "lang", "n_tok", F.round("rate", 6).alias("rate")
+    )
+
+
+SQL_TOKEN_BUDGET_MIX = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(doc_id AS VARCHAR) AS id_str
+        FROM documents
+    )
+    , shares(lang, share) AS (VALUES
+        ('en', 0.2), ('zh', 0.4), ('es', 0.2), ('de', 0.1), ('fr', 0.1))
+    , tok_g AS (SELECT lang, sum(n_tok) AS tok_g FROM t GROUP BY lang)
+    , total AS (SELECT sum(n_tok) AS tok_all FROM t)
+    , rates AS (
+        SELECT g.lang,
+               least(1.0, s.share * 0.5 * tok_all / tok_g) AS rate
+        FROM tok_g g JOIN shares s ON g.lang = s.lang CROSS JOIN total
+    )
+    SELECT doc_id, t.lang, n_tok, round(rate, 6) AS rate
+    FROM t JOIN rates r ON t.lang = r.lang
+    WHERE rate >= 1.0
+       OR substr(md5(id_str), 1, 13) <
+          lpad(lower(to_hex(CAST(floor(rate * 4503599627370496.0) AS BIGINT))), 13, '0')
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2383,6 +2438,7 @@ QUERIES = {
     "crawl_delay_budgets": (q_crawl_delay_budgets, SQL_CRAWL_DELAY_BUDGETS),
     "host_quality_filter": (q_host_quality_filter, SQL_HOST_QUALITY_FILTER),
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "multimodal_features": (q_multimodal_features, None),
 }
 

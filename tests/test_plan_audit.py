@@ -229,7 +229,7 @@ _LAZY_QUERIES = [
     # eagerly via localCheckpoint, audited in test_linkgraph)
     "hot_hosts", "snapshot_asof", "domain_mix", "robots_rules",
     "crawl_diff", "crawl_delay_budgets", "host_quality_filter",
-    "sitemap_urls",
+    "sitemap_urls", "token_budget_mix",
 ]
 
 

@@ -176,3 +176,39 @@ def test_snapshot_diff_all_statuses(spark):
         "u3": ("unchanged", 0, 0),
         "u4": ("new", None, 0),
     }
+
+
+def test_token_budget_mix_membership_and_clamp(spark):
+    from news_combinator_spark.operators.sampling import token_budget_mix
+
+    # lang 'a' huge (samples down), 'b' tiny vs its share (clamps at
+    # 1.0, kept whole), 'c' absent from shares (dropped entirely)
+    rows = (
+        [(f"a{i}", "a", 50) for i in range(200)]
+        + [(f"b{i}", "b", 10) for i in range(10)]
+        + [(f"c{i}", "c", 30) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "id_str string, lang string, n_tok long")
+    shares = {"a": 0.5, "b": 0.5}
+    kept = token_budget_mix(
+        df, "lang", "id_str", "n_tok", shares, budget_frac=0.4
+    ).toPandas()
+
+    total = sum(r[2] for r in rows)
+    tok = {"a": 200 * 50, "b": 10 * 10, "c": 20 * 30}
+    exp_ids = set()
+    for id_str, lang, _ in rows:
+        if lang not in shares:
+            continue
+        rate = min(1.0, shares[lang] * 0.4 * total / tok[lang])
+        if rate >= 1.0:
+            exp_ids.add(id_str)
+        else:
+            thr = format(int(rate * (1 << 52)), "x").rjust(13, "0")
+            if hashlib.md5(id_str.encode()).hexdigest()[:13] < thr:
+                exp_ids.add(id_str)
+    assert set(kept.id_str) == exp_ids
+    by = kept.groupby("lang").size()
+    assert by.get("b", 0) == 10           # clamped group kept whole
+    assert 0 < by["a"] < 200              # sampled down
+    assert "c" not in set(kept.lang)      # unweighted group dropped
