@@ -60,9 +60,23 @@ class MixSegmenter:
                 parts = line.split()
                 if len(parts) < 2:
                     continue
-                entries.append((parts[0], float(parts[1])))
-                total += float(parts[1])
+                try:
+                    fr = float(parts[1])
+                except ValueError:
+                    continue
+                if fr <= 0:  # log(fr/total) must be finite
+                    continue
+                entries.append((parts[0], fr))
+                total += fr
                 self.tags[parts[0]] = parts[2] if len(parts) > 2 else "x"
+        if not entries or total <= 0:
+            # fail at construction with a clear message — otherwise
+            # every Arrow worker that lazily rebuilds the segmenter
+            # dies with an opaque min()/log() error per task
+            raise ValueError(
+                f"dictionary {dict_path!r} has no parseable "
+                "'word freq [tag]' entries (empty or malformed file)"
+            )
         self.words = {w: math.log(fr / total) for w, fr in entries}
         self.min_weight = min(self.words.values())
         self.max_len = max(len(w) for w in self.words)
@@ -247,9 +261,10 @@ class MixSegmenter:
 def load_stop_words(path: str) -> set[str]:
     """One stopword per line, verbatim
     (KeywordExtractor.hpp:_loadStopWordDict — no trimming beyond the
-    newline)."""
+    line terminator; \\r\\n is stripped too so a CRLF-saved file does
+    not leave '\\r' on every entry and silently disable filtering)."""
     with open(path, encoding="utf-8") as f:
-        return {ln.rstrip("\n") for ln in f}
+        return {ln.rstrip("\r\n") for ln in f}
 
 
 def configure_dictionary(dict_path: str, hmm_path: str) -> None:

@@ -57,9 +57,9 @@ def _agent_group_lines(
     typed = lines.select(
         "host",
         "pos",
-        F.startswith(F.lower("line"), F.lit("user-agent:")).alias("is_ua"),
         # directive = lowercased name before the first colon; a line
-        # with no colon is not a directive at all
+        # with no colon is not a directive at all. Trim tolerates
+        # 'User-agent : *' spacing (urllib.robotparser accepts it)
         F.when(
             F.expr("instr(line, ':')") > 0,
             F.lower(F.trim(F.substring_index("line", ":", 1))),
@@ -69,7 +69,9 @@ def _agent_group_lines(
         F.trim(
             F.expr("substring(line, instr(line, ':') + 1)")
         ).alias("value"),
-    ).filter(F.length("line") > 0)
+    ).filter(F.length("line") > 0).withColumn(
+        "is_ua", F.col("directive") == "user-agent"
+    )
     w = Window.partitionBy("host").orderBy("pos")
     grouped = typed.withColumn(
         "new_group",
@@ -96,9 +98,12 @@ def rules_from_robots_txt(
 ) -> DataFrame:
     """(host, robots_txt) -> distinct disallow rules applying to
     `agent`: (host, path_prefix, disallow_prefix), where path_prefix
-    is the literal Disallow value and disallow_prefix is the full-URL
-    form ('http://' || host || path) that `frontier.apply_robots`
-    matches candidate urls against."""
+    is the literal Disallow value — the scheme-independent key
+    `frontier.apply_robots` enforces against the candidate URL's path
+    — and disallow_prefix is a display-only full-URL rendering
+    ('http://' || host || path) kept for lineage/debugging (a rule
+    applies per robots protocol to every scheme/port of its host, so
+    enforcement never matches on it)."""
     g = _agent_group_lines(robots, agent, host_col, txt_col)
     return (
         g.filter((F.col("directive") == "disallow") & (F.length("value") > 0))

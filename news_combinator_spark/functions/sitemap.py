@@ -36,23 +36,29 @@ def urls_from_sitemap(
     always-recrawlable). Rows explode from bounded sitemap bodies
     (the protocol caps a sitemap at 50k entries), so the fan-out per
     input row is bounded and needs no special partitioning.
+
+    The block regex runs in DOTALL mode ((?s)) — real sitemaps put
+    each child tag on its own line, so '.' must cross newlines or
+    every multi-line <url> entry would silently parse to nothing.
+    Field values (<loc>, <lastmod>) are single-line by protocol and
+    are trimmed, so pretty-printed whitespace around them is inert.
     """
     blocks = sitemaps.select(
         F.col(host_col).alias("host"),
         F.explode(
             F.regexp_extract_all(
-                F.col(xml_col), F.lit("<url>(.*?)</url>"), 1
+                F.col(xml_col), F.lit("(?s)<url>(.*?)</url>"), 1
             )
         ).alias("entry"),
     )
-    loc = F.regexp_extract("entry", "<loc>(.*?)</loc>", 1)
+    loc = F.trim(F.regexp_extract("entry", "<loc>(.*?)</loc>", 1))
     return (
         blocks.select(
             "host",
             loc.alias("loc"),
             F.expr(
-                "try_cast(regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1)"
-                " AS timestamp)"
+                "try_cast(trim(regexp_extract(entry,"
+                " '<lastmod>(.*?)</lastmod>', 1)) AS timestamp)"
             ).alias("lastmod"),
         )
         .filter(F.length("loc") > 0)

@@ -384,6 +384,27 @@ def dedup_keep_canonical(
     return df.join(keep, "doc_id", "left_semi")
 
 
+def _span_sites(df: DataFrame, text_col: str, window: int) -> DataFrame:
+    """(doc_id, pos, span_hash): one row per length-``window``
+    whitespace-token run, hashed. Shared by ``duplicated_spans`` and
+    ``dup_span_stats`` so the tokenizer / slice bounds / hash cannot
+    drift between the site list and the per-doc stats."""
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    span_hashes = f"""
+        CASE WHEN size(toks) >= {window}
+             THEN transform(
+                    sequence(0, size(toks) - {window}),
+                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {window}))))
+             ELSE CAST(array() AS array<bigint>)
+        END
+    """
+    return toks.select(
+        "doc_id", F.posexplode(F.expr(span_hashes)).alias("pos", "span_hash")
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -405,20 +426,7 @@ def duplicated_spans(
     join back to sites. No Python touches the hot path. A maximal
     repeat of length L >= window is detected at every covered position,
     so spans recoverable by merging adjacent flagged positions."""
-    toks = df.select(
-        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
-    )
-    span_hashes = f"""
-        CASE WHEN size(toks) >= {window}
-             THEN transform(
-                    sequence(0, size(toks) - {window}),
-                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {window}))))
-             ELSE CAST(array() AS array<bigint>)
-        END
-    """
-    sites = toks.select(
-        "doc_id", F.posexplode(F.expr(span_hashes)).alias("pos", "span_hash")
-    )
+    sites = _span_sites(df, text_col, window)
     dup_counts = (
         sites.groupBy("span_hash")
         .agg(F.count("*").alias("n_sites"))
@@ -441,20 +449,7 @@ def dup_span_stats(
     the rest of the corpus are boilerplate/templates to drop or trim.
     Documents with fewer than ``window`` tokens have no windows and are
     excluded (no signal either way)."""
-    toks = df.select(
-        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
-    )
-    span_hashes = f"""
-        CASE WHEN size(toks) >= {window}
-             THEN transform(
-                    sequence(0, size(toks) - {window}),
-                    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {window}))))
-             ELSE CAST(array() AS array<bigint>)
-        END
-    """
-    sites = toks.select(
-        "doc_id", F.posexplode(F.expr(span_hashes)).alias("pos", "span_hash")
-    )
+    sites = _span_sites(df, text_col, window)
     dup_counts = (
         sites.groupBy("span_hash")
         .agg(F.count("*").alias("n_sites"))

@@ -137,19 +137,40 @@ def schedule_per_host(
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop candidate URLs matching any (host, disallow_prefix) rule.
-    robots is tiny -> broadcast; prefix match via startswith."""
+    """Drop candidate URLs disallowed by a (host, path-prefix) rule.
+
+    Enforcement is scheme-independent, per the robots protocol: a
+    rule gates every scheme/port of its host, so the match is host
+    equality + path-and-beyond startswith — 'https://h/secret/x' is
+    blocked by `Disallow: /secret` exactly like the http form. Rules
+    carry either `path_prefix` (functions/robots.rules_from_robots_txt
+    output) or a legacy full-URL `disallow_prefix`, whose
+    scheme+authority is stripped here. robots is tiny -> broadcast."""
     if robots is None:
         return candidates
-    r = F.broadcast(robots.withColumnRenamed("host", "r_host"))
-    joined = candidates.join(
+    if "path_prefix" in robots.columns:
+        rules = robots.select("host", "path_prefix")
+    else:
+        rules = robots.select(
+            "host",
+            F.regexp_replace(
+                "disallow_prefix", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+            ).alias("path_prefix"),
+        )
+    r = F.broadcast(rules.withColumnRenamed("host", "r_host"))
+    # path-and-beyond (path + query/fragment): strip scheme+authority
+    # textually so prefixes containing '?' still match
+    path = F.regexp_replace(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    joined = candidates.withColumn("_path", path).join(
         r,
         (F.col("host") == F.col("r_host"))
-        & F.col("url").startswith(F.col("disallow_prefix")),
+        & F.col("_path").startswith(F.col("path_prefix")),
         "left",
     )
     return joined.filter(F.col("r_host").isNull()).drop(
-        "r_host", "disallow_prefix"
+        "r_host", "path_prefix", "_path"
     )
 
 

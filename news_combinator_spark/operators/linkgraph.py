@@ -40,7 +40,7 @@ def page_rank(
     num_iters: int = 5,
     alpha: float = 0.85,
     dangling: str = "redistribute",
-    checkpoint_every: int = 0,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list.
 
@@ -53,6 +53,16 @@ def page_rank(
     (total mass then decays, as in some crawler-priority variants).
 
     Returns (node, rank) with sum(rank) == 1 under "redistribute".
+
+    checkpoint_every: localCheckpoint the (node, rank) frame every K
+    iterations (default every iteration). Each round references the
+    previous ranks TWICE — the contribution join and the dangling-mass
+    aggregate — so an uncheckpointed chain re-evaluates both branches
+    and doubles work per iteration (2^iters blow-up); checkpointing a
+    frame that is orders of magnitude narrower than the edge list
+    keeps every iteration O(edges). 0 disables (only safe for 1-2
+    iterations under dangling="ignore", where ranks is referenced
+    once).
     """
     if dangling not in ("redistribute", "ignore"):
         raise ValueError(f"dangling must be redistribute|ignore: {dangling}")
@@ -80,6 +90,16 @@ def page_rank(
     base = (1.0 - alpha) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
+    # out-degree-0 node SET is iteration-invariant — materialize it
+    # once; only its rank mass is re-summed per round
+    dang_nodes = None
+    if dangling == "redistribute":
+        dang_nodes = (
+            nodes.join(
+                deg.withColumnRenamed("src", "node"), "node", "left_anti"
+            ).localCheckpoint()
+        )
+
     for i in range(num_iters):
         contrib = (
             e_norm.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -97,7 +117,7 @@ def page_rank(
             # rank mass sitting on out-degree-0 nodes this round: a
             # scalar, broadcast back as a uniform addend
             dang = (
-                ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+                ranks.join(dang_nodes.select("node"), "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             )
             new_ranks = new_ranks.crossJoin(F.broadcast(dang)).select(

@@ -1989,18 +1989,20 @@ SQL_DOMAIN_MIX = (
 def q_robots_rules(spark, sf_dir):
     """Parse RAW robots.txt bodies into the frontier's gate rules
     (functions/robots.rules_from_robots_txt) — multi-UA groups,
-    comments, blank lines, Allow lines, and empty Disallow all
-    exercised; per host the '*' group yields exactly its two
-    non-empty Disallow prefixes. The oracle replicates the full parse
-    (line split -> group segmentation via lag+cumsum -> star-group
-    join) in SQL over the same synthesized bodies."""
+    comments, blank lines, Allow lines, empty Disallow, and
+    space-before-colon directive spacing ('User-Agent : *', which
+    urllib.robotparser accepts) all exercised; per host the '*' group
+    yields exactly its two non-empty Disallow prefixes. The oracle
+    replicates the full parse (line split -> directive extraction ->
+    group segmentation via lag+cumsum -> star-group join) in SQL over
+    the same synthesized bodies."""
     pages = pages_from_documents(spark, sf_dir)
     hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
     robots = pages.select("host").distinct().select(
         "host",
         F.concat(
             F.lit("User-agent: fetchbot\nDisallow: /secret\n\n"),
-            F.lit("User-agent: helper\nUser-agent: *\nDisallow: /a/"),
+            F.lit("User-agent: helper\nUser-Agent : *\nDisallow: /a/"),
             (F.lit(20240101) + hn % 3).cast("string"),
             F.lit(
                 "\n# maintenance notes\nAllow: /img\nDisallow:\n"
@@ -2026,7 +2028,7 @@ SQL_ROBOTS_RULES = (
         SELECT host,
           'User-agent: fetchbot' || chr(10) || 'Disallow: /secret'
           || chr(10) || chr(10)
-          || 'User-agent: helper' || chr(10) || 'User-agent: *'
+          || 'User-agent: helper' || chr(10) || 'User-Agent : *'
           || chr(10) || 'Disallow: /a/'
           || CAST(20240101 + hn % 3 AS VARCHAR) || chr(10)
           || '# maintenance notes' || chr(10) || 'Allow: /img'
@@ -2044,12 +2046,19 @@ SQL_ROBOTS_RULES = (
                    ) AS pos
         ) u
     )
-    , typed AS (
+    , directives AS (
         SELECT host, pos,
-               starts_with(lower(line), 'user-agent:') AS is_ua,
-               starts_with(lower(line), 'disallow:') AS is_dis,
+               CASE WHEN strpos(line, ':') > 0
+                    THEN lower(trim(substr(line, 1, strpos(line, ':') - 1)))
+                    ELSE '' END AS directive,
                trim(substr(line, strpos(line, ':') + 1)) AS value
         FROM lines WHERE length(line) > 0
+    )
+    , typed AS (
+        SELECT host, pos, value,
+               directive = 'user-agent' AS is_ua,
+               directive = 'disallow' AS is_dis
+        FROM directives
     )
     , lagged AS (
         SELECT *, coalesce(
@@ -2254,15 +2263,19 @@ def q_sitemap_urls(spark, sf_dir):
     parse it back with functions/sitemap.urls_from_sitemap. Per host
     the body also carries one malformed-lastmod entry class (epoch
     null) and one loc-less entry (dropped), so both error paths are
-    under the hash gate. All generation and parsing is JVM
-    regexp/agg; the oracle round-trips the same XML in SQL."""
+    under the hash gate. Entries are pretty-printed — each child tag
+    on its own indented line, the real-world sitemap shape — so the
+    parser's DOTALL block matching is itself under the hash gate.
+    All generation and parsing is JVM regexp/agg; the oracle
+    round-trips the same XML in SQL."""
     pages = pages_from_documents(spark, sf_dir)
     entry = F.concat(
-        F.lit("<url><loc>"), F.col("url"), F.lit("</loc><lastmod>"),
+        F.lit("<url>\n  <loc>"), F.col("url"),
+        F.lit("</loc>\n  <lastmod>"),
         F.when(F.col("doc_id") % 10 == 0, F.lit("soon")).otherwise(
             F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss")
         ),
-        F.lit("</lastmod></url>"),
+        F.lit("</lastmod>\n</url>"),
     )
     sitemaps = (
         pages.select("host", entry.alias("entry"))
@@ -2286,10 +2299,11 @@ SQL_SITEMAP_URLS = (
     + """
     , entries AS (
         SELECT host,
-               '<url><loc>' || url || '</loc><lastmod>' ||
+               '<url>' || chr(10) || '  <loc>' || url || '</loc>'
+               || chr(10) || '  <lastmod>' ||
                CASE WHEN doc_id % 10 = 0 THEN 'soon'
                     ELSE strftime(warc_ts, '%Y-%m-%dT%H:%M:%S') END ||
-               '</lastmod></url>' AS entry
+               '</lastmod>' || chr(10) || '</url>' AS entry
         FROM pages
     )
     , sm AS (
@@ -2300,16 +2314,17 @@ SQL_SITEMAP_URLS = (
     )
     , blocks AS (
         SELECT host,
-               unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+               unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+                   AS entry
         FROM sm
     )
     SELECT host,
-           regexp_extract(entry, '<loc>(.*?)</loc>', 1) AS loc,
-           CAST(epoch(try_cast(
-               regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1)
+           trim(regexp_extract(entry, '<loc>(.*?)</loc>', 1)) AS loc,
+           CAST(epoch(try_cast(trim(
+               regexp_extract(entry, '<lastmod>(.*?)</lastmod>', 1))
                AS TIMESTAMP)) AS BIGINT) AS lastmod_epoch
     FROM blocks
-    WHERE length(regexp_extract(entry, '<loc>(.*?)</loc>', 1)) > 0
+    WHERE length(trim(regexp_extract(entry, '<loc>(.*?)</loc>', 1))) > 0
 """
 )
 

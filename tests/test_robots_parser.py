@@ -118,3 +118,41 @@ def test_crawl_delays_group_attribution_and_max(spark):
         ).collect()
     }
     assert budgets == {"a.test": 6, "b.test": 7, "c.test": 7}
+
+
+def test_spaced_user_agent_colon(spark):
+    """'User-Agent : *' (space before the colon) heads a group like
+    urllib.robotparser accepts; mis-grouping would either return zero
+    star rules or leak a bot group's rules into '*'."""
+    txt = (
+        "User-agent: fetchbot\nDisallow: /private\n"
+        "User-Agent : *\nDisallow: /x\n"
+    )
+    robots = spark.createDataFrame(
+        [("h9.test", txt)], "host string, robots_txt string"
+    )
+    star = rules_from_robots_txt(robots).toPandas()
+    assert sorted(star.path_prefix) == ["/x"]
+    bot = rules_from_robots_txt(robots, agent="fetchbot").toPandas()
+    assert sorted(bot.path_prefix) == ["/private"]
+
+
+def test_apply_robots_is_scheme_independent(spark):
+    """A Disallow rule gates every scheme/port of its host: the https
+    and :8080 forms of a disallowed path are blocked exactly like the
+    http form (the gate matches host + path, never a scheme-qualified
+    URL prefix)."""
+    rules = spark.createDataFrame(
+        [("h9.test", "/secret")], "host string, path_prefix string"
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h9.test/secret/x", "h9.test", 0),
+            ("http://h9.test:8080/secret/y", "h9.test", 0),
+            ("http://h9.test/secret/z", "h9.test", 0),
+            ("https://h9.test/open/a", "h9.test", 0),
+        ],
+        "url string, host string, priority int",
+    )
+    kept = set(apply_robots(cand, rules).toPandas().url)
+    assert kept == {"https://h9.test/open/a"}
