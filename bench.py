@@ -98,6 +98,9 @@ SQL_BENCH_QUERIES = [
     "host_quality_filter",
     "sitemap_urls",
     "token_budget_mix",
+    "fetch_retries",
+    "redirect_resolution",
+    "anchor_texts",
 ]
 
 

@@ -406,6 +406,160 @@ def crawl(
     return CrawlResult(fetched=result, lineage=lineage)
 
 
+def _fail_threshold_hex(fail_frac: float) -> str:
+    """fail_frac in [0,1] -> 13-hex-digit lowercase threshold (the
+    sampling.keep_hash convention: 52 bits, exact in a double)."""
+    return format(int(fail_frac * (1 << 52)), "013x")
+
+
+def fetch_with_retry(
+    scheduled: DataFrame,
+    max_attempts: int = 3,
+    fail_frac: float = 0.2,
+    seed: str = "r",
+) -> DataFrame:
+    """Transient-failure retry waves over a scheduled fetch batch.
+
+    A production fetcher sees timeouts/5xx on a fraction of URLs and
+    re-enqueues them into later waves with exponential backoff instead
+    of dropping them (the reference's php fetcher just blocks per URL,
+    crawler.php:420-444 — retry scheduling is what that becomes when
+    fetches are batched). The sandbox stand-in for "attempt k on url
+    failed transiently" is deterministic: md5(url:seed:k) below the
+    fail_frac threshold (the same 13-hex-digit uniform-hash convention
+    as operators/sampling.keep_hash, so the oracle can recompute the
+    exact outcome per URL).
+
+    Input: (url, host, priority) scheduled rows. Output one row per
+    input: (url, host, priority, n_attempts, fetched, backoff_rounds)
+    where n_attempts is attempts actually made (first success, or
+    max_attempts if all failed), fetched marks success, and
+    backoff_rounds = sum(2^j for failed attempts j) is the total
+    exponential-backoff delay the URL waited, in scheduling rounds.
+
+    Scale shape: wave k is a narrow filter over wave k-1's failures —
+    no shuffle at all (the failure test is a per-row expression), so
+    the whole retry ladder is one whole-stage-codegen pass per wave
+    over a geometrically shrinking frame.
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    thr = F.lit(_fail_threshold_hex(fail_frac))
+
+    def failed(k: int) -> F.Column:
+        key = F.concat_ws(":", F.col("url"), F.lit(seed), F.lit(str(k)))
+        return F.substring(F.md5(key), 1, 13) < thr
+
+    pending = scheduled.select("url", "host", "priority").withColumn(
+        "backoff_rounds", F.lit(0).cast("long")
+    )
+    waves: list[DataFrame] = []
+    for k in range(max_attempts):
+        ok = pending.withColumn("_fail", failed(k))
+        waves.append(
+            ok.filter(~F.col("_fail")).select(
+                "url", "host", "priority",
+                F.lit(k + 1).alias("n_attempts"),
+                F.lit(True).alias("fetched"),
+                "backoff_rounds",
+            )
+        )
+        pending = (
+            ok.filter(F.col("_fail"))
+            .drop("_fail")
+            .withColumn(
+                "backoff_rounds", F.col("backoff_rounds") + F.lit(2 ** k)
+            )
+        )
+    waves.append(
+        pending.select(
+            "url", "host", "priority",
+            F.lit(max_attempts).alias("n_attempts"),
+            F.lit(False).alias("fetched"),
+            "backoff_rounds",
+        )
+    )
+    out = waves[0]
+    for w in waves[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def resolve_redirects(
+    urls: DataFrame,
+    redirects: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Follow a redirect map (src -> dst) from each url for up to
+    ``max_hops`` hops, with cycle detection.
+
+    Canonicalization's dynamic sibling: 3xx chains are why the same
+    page appears under several URLs, and the frontier must fetch the
+    terminal URL and attribute the seen-set entry to it. Returns one
+    row per input url: (url, final_url, hops, status) with status
+    'ok'        — reached a URL with no redirect entry (final_url is
+                  terminal, hops = chain length),
+    'loop'      — the next hop revisited a URL already on this chain
+                  (final_url = the revisited URL, hops counts the
+                  closing hop),
+    'truncated' — still redirecting after max_hops (final_url = where
+                  the walk stopped).
+
+    Scale shape: one equi-join per hop on the current cursor against
+    the redirect map — a plain shuffle join (the map at web scale is
+    too big to broadcast), max_hops bounded, each row's state is a
+    <= max_hops string array. Rows settle (status non-null) as soon
+    as they terminate; settled rows join on a null key (never
+    matching), so a redirect entry for a loop's revisited URL cannot
+    fan the row out again. `redirects` must be unique per src (one
+    Location per URL) — dedupe upstream if the map is multi-version.
+    """
+    r = redirects.select(
+        F.col("src").alias("_src"), F.col("dst").alias("_dst")
+    )
+    state = urls.select("url").withColumn(
+        "cur", F.col("url")
+    ).withColumn("path", F.array(F.col("url"))).withColumn(
+        "hops", F.lit(0)
+    ).withColumn("status", F.lit(None).cast("string"))
+    for _ in range(max_hops):
+        walk_key = F.when(F.col("status").isNull(), F.col("cur"))
+        joined = state.join(
+            r, walk_key == r["_src"], "left"
+        )
+        advanced = joined.select(
+            "url",
+            F.when(
+                F.col("status").isNotNull(), F.col("cur")  # settled
+            ).when(
+                F.col("_dst").isNull(), F.col("cur")       # terminal
+            ).otherwise(F.col("_dst")).alias("cur"),
+            F.when(
+                F.col("status").isNotNull() | F.col("_dst").isNull(),
+                F.col("path"),
+            ).otherwise(
+                F.array_append("path", F.col("_dst"))
+            ).alias("path"),
+            F.when(
+                F.col("status").isNotNull() | F.col("_dst").isNull(),
+                F.col("hops"),
+            ).otherwise(F.col("hops") + 1).alias("hops"),
+            F.when(F.col("status").isNotNull(), F.col("status"))
+            .when(F.col("_dst").isNull(), F.lit("ok"))
+            .when(
+                F.array_contains("path", F.col("_dst")), F.lit("loop")
+            )
+            .otherwise(F.lit(None).cast("string")).alias("status"),
+        )
+        state = advanced
+    return state.select(
+        "url",
+        F.col("cur").alias("final_url"),
+        "hops",
+        F.coalesce("status", F.lit("truncated")).alias("status"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Checkpoint / resume (Iceberg-snapshot stand-in; SURVEY.md §2.9)
 # --------------------------------------------------------------------------

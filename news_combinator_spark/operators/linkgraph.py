@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["page_rank", "host_rank"]
+__all__ = ["page_rank", "host_rank", "anchor_text_profile"]
 
 
 def page_rank(
@@ -129,6 +129,57 @@ def page_rank(
             ranks = ranks.localCheckpoint()
 
     return ranks
+
+
+def anchor_text_profile(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    html_col: str = "html_str",
+) -> DataFrame:
+    """Per-target anchor-text aggregation over <a href="...">text</a>
+    tags: (dst, n_refs, n_src_hosts, anchors).
+
+    Anchor text is the web's free labeling signal — what OTHER pages
+    call a URL — used for crawl prioritization and as retrieval/
+    training metadata (the reference extracts hrefs only,
+    crawlernewsspider.py:62-75; the text between the tags is what a
+    production pipeline keeps). n_refs counts referring tags
+    (multiplicity kept — two links from one page are two votes),
+    n_src_hosts counts distinct referring hosts (the spam-resistant
+    variant), anchors is the sorted distinct anchor-text set joined
+    with '|' (deterministic, hash-comparable).
+
+    Scale shape: tag explosion and both field extractions are JVM
+    regexps inside whole-stage codegen (no Python); the profile is one
+    groupBy(dst) shuffle with map-side partial aggregation. Anchor
+    sets are per-URL small (capped by real pages' tag counts), so
+    collect_set stays bounded; a 10^10-edge corpus shuffles narrow
+    (dst, host, anchor) rows only.
+    """
+    tags = pages.select(
+        F.col(host_col).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col),
+                F.lit('<a href="[^"]*">[^<]*</a>'),
+                0,
+            )
+        ).alias("tag"),
+    )
+    pairs = tags.select(
+        "src_host",
+        F.regexp_extract("tag", 'href="([^"]*)"', 1).alias("dst"),
+        F.regexp_extract("tag", ">([^<]*)<", 1).alias("anchor"),
+    )
+    return pairs.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+        F.concat_ws("|", F.array_sort(F.collect_set("anchor"))).alias(
+            "anchors"
+        ),
+    )
 
 
 def host_rank(

@@ -38,6 +38,7 @@ from ..operators import snapshots as snap_ops
 from ..functions import robots as rb
 from ..functions import sitemap as sm
 from ..functions.robots import rules_from_robots_txt
+from ..operators import frontier as fr
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
@@ -2384,6 +2385,182 @@ SQL_TOKEN_BUDGET_MIX = """
 """
 
 
+def q_fetch_retries(spark, sf_dir):
+    """Transient-failure retry scheduling (frontier.fetch_with_retry):
+    3 attempts, 20% deterministic per-attempt failure, exponential
+    backoff. The operator runs the production wave loop (failures of
+    wave k re-enqueue into wave k+1); the oracle computes the SAME
+    outcome in closed form per URL — first attempt whose md5 key
+    clears the threshold — so loop-vs-closed-form equality is exactly
+    what the hash gate checks. Every output class (success at each
+    attempt, exhausted) occurs at 20%."""
+    pages = pages_from_documents(spark, sf_dir)
+    return fr.fetch_with_retry(
+        pages.select("url", "host", "priority"),
+        max_attempts=3, fail_frac=0.2, seed="r",
+    )
+
+
+# fail(k) iff substr(md5(url:r:k),1,13) < hex(0.2 * 2^52); thresholds
+# and key layout match operators/frontier._fail_threshold_hex +
+# fetch_with_retry(seed='r').
+SQL_FETCH_RETRIES = (
+    _pages_cte()
+    + """
+    , f AS (
+        SELECT url, host, priority,
+               substr(md5(url || ':r:0'), 1, 13) < '3333333333333' AS f0,
+               substr(md5(url || ':r:1'), 1, 13) < '3333333333333' AS f1,
+               substr(md5(url || ':r:2'), 1, 13) < '3333333333333' AS f2
+        FROM pages
+    )
+    SELECT url, host, priority,
+           CASE WHEN NOT f0 THEN 1 WHEN NOT f1 THEN 2 ELSE 3 END
+               AS n_attempts,
+           (NOT f0 OR NOT f1 OR NOT f2) AS fetched,
+           CAST(CASE WHEN NOT f0 THEN 0
+                     WHEN NOT f1 THEN 1
+                     WHEN NOT f2 THEN 3
+                     ELSE 7 END AS BIGINT) AS backoff_rounds
+    FROM f
+"""
+)
+
+
+def _redirect_map(spark, sf_dir):
+    """Deterministic redirect fixture over the pages table, unique per
+    src: doc_id % 3 == 0 and % 5 != 0 chain forward (+3 mod n, so a
+    walk terminates at the first doc_id % 15 == 0 — 'ok' within 1-4
+    hops, 'truncated' past 3); doc_id % 30 in (10, 20) form 2-cycles
+    (+10 / -10) — 'loop' at hop 2. Targets resolve via self-join on
+    doc_id, so a rule exists only when its target page exists."""
+    pages = pages_from_documents(spark, sf_dir)
+    n = pages.count()
+    d = F.col("doc_id")
+    target = (
+        F.when((d % 3 == 0) & (d % 5 != 0), (d + 3) % n)
+        .when(d % 30 == 10, d + 10)
+        .when(d % 30 == 20, d - 10)
+    )
+    srcs = pages.select("url", target.alias("t_id")).filter(
+        F.col("t_id").isNotNull()
+    )
+    tgt = pages.select(
+        F.col("doc_id").alias("t_id"), F.col("url").alias("dst")
+    )
+    return srcs.join(tgt, "t_id").select(F.col("url").alias("src"), "dst")
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """3xx chain resolution (frontier.resolve_redirects): follow a
+    deterministic redirect map from every page URL for up to 3 hops
+    with cycle detection. The fixture produces all four row classes —
+    no-redirect (hops 0), terminal chains (1-3 hops, 'ok'), chains
+    still walking at 3 ('truncated'), and 2-cycles ('loop'). The
+    oracle unrolls the 3 hops as left joins with the same
+    settle/advance/cycle logic."""
+    pages = pages_from_documents(spark, sf_dir)
+    rmap = _redirect_map(spark, sf_dir)
+    return fr.resolve_redirects(pages.select("url"), rmap, max_hops=3)
+
+
+SQL_REDIRECT_RESOLUTION = (
+    _pages_cte()
+    + """
+    , n AS (SELECT count(*) AS n FROM pages)
+    , rmap AS (
+        SELECT p.url AS src, q.url AS dst
+        FROM pages p CROSS JOIN n
+        JOIN pages q ON q.doc_id = CASE
+            WHEN p.doc_id % 3 = 0 AND p.doc_id % 5 <> 0
+                THEN (p.doc_id + 3) % n.n
+            WHEN p.doc_id % 30 = 10 THEN p.doc_id + 10
+            WHEN p.doc_id % 30 = 20 THEN p.doc_id - 10
+        END
+    )
+    , s1 AS (
+        SELECT u.url,
+               coalesce(r.dst, u.url) AS cur,
+               CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops,
+               CASE WHEN r.dst IS NULL THEN 'ok'
+                    WHEN r.dst = u.url THEN 'loop' END AS status
+        FROM pages u LEFT JOIN rmap r ON r.src = u.url
+    )
+    , s2 AS (
+        SELECT s.url,
+               CASE WHEN s.status IS NOT NULL OR r.dst IS NULL
+                    THEN s.cur ELSE r.dst END AS cur,
+               CASE WHEN s.status IS NOT NULL OR r.dst IS NULL
+                    THEN s.hops ELSE s.hops + 1 END AS hops,
+               CASE WHEN s.status IS NOT NULL THEN s.status
+                    WHEN r.dst IS NULL THEN 'ok'
+                    WHEN r.dst IN (s.url, s.cur) THEN 'loop' END AS status,
+               s.cur AS p1
+        FROM s1 s LEFT JOIN rmap r
+          ON s.status IS NULL AND r.src = s.cur
+    )
+    , s3 AS (
+        SELECT s.url,
+               CASE WHEN s.status IS NOT NULL OR r.dst IS NULL
+                    THEN s.cur ELSE r.dst END AS cur,
+               CASE WHEN s.status IS NOT NULL OR r.dst IS NULL
+                    THEN s.hops ELSE s.hops + 1 END AS hops,
+               CASE WHEN s.status IS NOT NULL THEN s.status
+                    WHEN r.dst IS NULL THEN 'ok'
+                    WHEN r.dst IN (s.url, s.p1, s.cur) THEN 'loop'
+               END AS status
+        FROM s2 s LEFT JOIN rmap r
+          ON s.status IS NULL AND r.src = s.cur
+    )
+    SELECT url, cur AS final_url, hops,
+           coalesce(status, 'truncated') AS status
+    FROM s3
+"""
+)
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (linkgraph.anchor_text_profile): what
+    the rest of the corpus calls each URL — referring-tag count,
+    distinct referring hosts, sorted distinct anchor-text set. Every
+    page contributes its three <a> tags; the same URL is 'n1' from
+    one referrer and 'n2' from another, so the distinct-set ordering
+    is exercised. Tag explosion and field extraction are JVM regexps
+    in both engines."""
+    pages = pages_from_documents(spark, sf_dir)
+    return lg.anchor_text_profile(pages)
+
+
+SQL_ANCHOR_TEXTS = (
+    _pages_cte()
+    + r"""
+    , tags AS (
+        SELECT host,
+               unnest(regexp_extract_all(
+                   html_str, '<a href="[^"]*">[^<]*</a>', 0)) AS tag
+        FROM pages
+    )
+    , pairs AS (
+        SELECT host,
+               regexp_extract(tag, 'href="([^"]*)"', 1) AS dst,
+               regexp_extract(tag, '>([^<]*)<', 1) AS anchor
+        FROM tags
+    )
+    , counts AS (
+        SELECT dst, count(*) AS n_refs,
+               count(DISTINCT host) AS n_src_hosts
+        FROM pairs GROUP BY dst
+    )
+    , texts AS (
+        SELECT dst, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+        FROM (SELECT DISTINCT dst, anchor FROM pairs) GROUP BY dst
+    )
+    SELECT c.dst, c.n_refs, c.n_src_hosts, t.anchors
+    FROM counts c JOIN texts t ON c.dst = t.dst
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2454,6 +2631,9 @@ QUERIES = {
     "host_quality_filter": (q_host_quality_filter, SQL_HOST_QUALITY_FILTER),
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "fetch_retries": (q_fetch_retries, SQL_FETCH_RETRIES),
+    "redirect_resolution": (q_redirect_resolution, SQL_REDIRECT_RESOLUTION),
+    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -321,3 +321,79 @@ def test_crawl_from_bucketed_table_matches(spark, tmp_path, crawl_result):
         spark.sql("DROP TABLE IF EXISTS web_pages_bucketed")
     base = crawl_result.fetched.toPandas().sort_values("fetch_order")
     assert got.reset_index(drop=True).equals(base.reset_index(drop=True))
+
+
+def test_fetch_with_retry_matches_closed_form(spark):
+    """The wave loop must equal the per-URL closed form: first
+    attempt k whose md5(url:r:k) 13-hex prefix clears the 20%
+    threshold; backoff = sum of 2^j over failed attempts."""
+    import hashlib
+
+    from news_combinator_spark.operators.frontier import fetch_with_retry
+
+    urls = [(f"http://h{i % 4}.test/p{i}", f"h{i % 4}.test", i % 3)
+            for i in range(300)]
+    sched = spark.createDataFrame(
+        urls, "url string, host string, priority int"
+    )
+    out = {
+        r.url: r
+        for r in fetch_with_retry(
+            sched, max_attempts=3, fail_frac=0.2, seed="r"
+        ).collect()
+    }
+    assert len(out) == 300
+    thr = format(int(0.2 * (1 << 52)), "013x")
+    seen_classes = set()
+    for url, host, prio in urls:
+        fails = [
+            hashlib.md5(f"{url}:r:{k}".encode()).hexdigest()[:13] < thr
+            for k in range(3)
+        ]
+        if not fails[0]:
+            exp = (1, True, 0)
+        elif not fails[1]:
+            exp = (2, True, 1)
+        elif not fails[2]:
+            exp = (3, True, 3)
+        else:
+            exp = (3, False, 7)
+        r = out[url]
+        assert (r.n_attempts, r.fetched, r.backoff_rounds) == exp, url
+        seen_classes.add(exp)
+    # the fixture is big enough that every outcome class occurs
+    assert len(seen_classes) == 4
+
+
+def test_resolve_redirects_statuses(spark):
+    """Crafted map covering every status: no rule (ok, 0 hops),
+    2-hop chain (ok), self-loop (loop at hop 1), 2-cycle (loop at
+    hop 2), 4-chain (truncated at max_hops=3)."""
+    from news_combinator_spark.operators.frontier import resolve_redirects
+
+    urls = spark.createDataFrame(
+        [("u:none",), ("u:chain0",), ("u:self",), ("u:cycA",),
+         ("u:long0",)],
+        "url string",
+    )
+    rmap = spark.createDataFrame(
+        [
+            ("u:chain0", "u:chain1"), ("u:chain1", "u:chain2"),
+            ("u:self", "u:self"),
+            ("u:cycA", "u:cycB"), ("u:cycB", "u:cycA"),
+            ("u:long0", "u:long1"), ("u:long1", "u:long2"),
+            ("u:long2", "u:long3"), ("u:long3", "u:long4"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.status)
+        for r in resolve_redirects(urls, rmap, max_hops=3).collect()
+    }
+    assert got == {
+        "u:none": ("u:none", 0, "ok"),
+        "u:chain0": ("u:chain2", 2, "ok"),
+        "u:self": ("u:self", 1, "loop"),
+        "u:cycA": ("u:cycA", 2, "loop"),
+        "u:long0": ("u:long3", 3, "truncated"),
+    }

@@ -100,3 +100,33 @@ def test_host_rank_aggregates_by_host(spark):
 def test_pagerank_validates_dangling_mode(spark, edges_df):
     with pytest.raises(ValueError):
         page_rank(edges_df, dangling="drop")
+
+
+def test_anchor_text_profile(spark):
+    """Multiplicity kept in n_refs, hosts distinct in n_src_hosts,
+    anchors sorted-distinct; non-anchor markup ignored."""
+    from news_combinator_spark.operators.linkgraph import (
+        anchor_text_profile,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/1", "a.test",
+             '<p>x</p><a href="http://t.test/x">one</a>'
+             '<a href="http://t.test/x">two</a>'),
+            ("http://a.test/2", "a.test",
+             '<a href="http://t.test/x">one</a>'
+             '<a href="http://t.test/y">why</a>'),
+            ("http://b.test/1", "b.test",
+             '<a href="http://t.test/x">zed</a><img src="/i.jpg"/>'),
+        ],
+        "url string, host string, html_str string",
+    )
+    got = {
+        r.dst: (r.n_refs, r.n_src_hosts, r.anchors)
+        for r in anchor_text_profile(pages).collect()
+    }
+    assert got == {
+        "http://t.test/x": (4, 2, "one|two|zed"),
+        "http://t.test/y": (1, 1, "why"),
+    }
