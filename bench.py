@@ -101,6 +101,8 @@ SQL_BENCH_QUERIES = [
     "fetch_retries",
     "redirect_resolution",
     "anchor_texts",
+    "warc_records",
+    "recrawl_priority",
 ]
 
 

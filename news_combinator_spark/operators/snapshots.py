@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["latest_asof", "asof_join", "snapshot_diff"]
+__all__ = ["latest_asof", "asof_join", "snapshot_diff", "recrawl_priority"]
 
 
 def latest_asof(
@@ -125,4 +125,61 @@ def snapshot_diff(
         status.alias("status"),
         *[F.col(f"old_{c}") for c in cmp_cols],
         *[F.col(f"new_{c}") for c in cmp_cols],
+    )
+
+
+def recrawl_priority(
+    observations: DataFrame,
+    key: str = "url",
+    ts_col: str = "snap_ts",
+    fp_col: str = "fingerprint",
+    high: float = 0.75,
+    low: float = 0.25,
+) -> DataFrame:
+    """Adaptive re-crawl scheduling from observed change rates.
+
+    A frontier's priority for a KNOWN url should track how often its
+    content actually changes (the reference refetches everything every
+    run, crawler.php:420-444 — wasteful at 10^10 URLs; Common-Crawl-
+    scale recrawl policies estimate per-URL change frequency). Input:
+    one row per (url, fetch observation) with the content fingerprint
+    seen (F8's md5 family / snapshot_diff's cmp columns). Output per
+    url: n_obs, n_changes (consecutive observations whose fingerprints
+    differ), change_rate = n_changes / max(n_obs - 1, 1), and the
+    frontier `priority` bucket: 0 (fetch first) when change_rate >
+    `high`, 1 when > `low`, else 2 — the same 0/1/2 priority domain
+    the crawl's politeness scheduler orders by.
+
+    Scale shape: the lag window partitions by url (per-url observation
+    count is bounded by crawl cadence — no skewed/global frame), then
+    one map-side-combined groupBy(url). Never-fetched urls are absent;
+    single-observation urls get rate 0 (no transition evidence).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    trans = observations.select(
+        key, ts_col, fp_col
+    ).withColumn("_prev", F.lag(fp_col).over(w))
+    per = trans.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count(
+            F.when(
+                F.col("_prev").isNotNull()
+                & (F.col("_prev") != F.col(fp_col)),
+                F.lit(1),
+            )
+        ).alias("n_changes"),
+    )
+    rate = F.col("n_changes") / F.greatest(F.col("n_obs") - 1, F.lit(1))
+    return per.select(
+        key,
+        "n_obs",
+        "n_changes",
+        F.round(rate, 6).alias("change_rate"),
+        F.when(rate > high, 0)
+        .when(rate > low, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("priority"),
     )

@@ -37,6 +37,7 @@ from ..operators import sampling
 from ..operators import snapshots as snap_ops
 from ..functions import robots as rb
 from ..functions import sitemap as sm
+from ..functions import warc as wc
 from ..functions.robots import rules_from_robots_txt
 from ..operators import frontier as fr
 from ..operators.frontier import crawl
@@ -2561,6 +2562,173 @@ SQL_ANCHOR_TEXTS = (
 )
 
 
+def q_warc_records(spark, sf_dir):
+    """WARC ingestion (functions/warc.records_from_warc): per host,
+    synthesize one WARC blob — a warcinfo record (no Target-URI /
+    Content-Length -> nulls) plus one response record per page whose
+    Content-Length is authoritative (every 7th record declares 20,
+    clipping its body) — then parse it back. Segmentation, header
+    extraction, null paths, and length-honoring truncation are all
+    under the hash gate; generation and parsing are JVM string
+    expressions, round-tripped identically in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    body = F.substring("text", 1, 60)
+    clen = F.when(F.col("doc_id") % 7 == 0, F.lit(20)).otherwise(
+        F.length(body)
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\nWARC-Date: "),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("\nContent-Length: "),
+        clen.cast("string"),
+        F.lit("\n\n"),
+        body,
+        F.lit("\n\n"),
+    )
+    blobs = (
+        pages.select("host", record.alias("record"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("WARC/1.0\nWARC-Type: warcinfo\nX-Synth: 1\n\n"),
+                F.concat_ws("", F.array_sort(F.collect_list("record"))),
+            ).alias("warc")
+        )
+    )
+    out = wc.records_from_warc(blobs)
+    return out.select(
+        "host", "rec_type", "target_uri",
+        F.col("warc_date").cast("long").alias("warc_epoch"),
+        "content_length", "payload",
+    )
+
+
+SQL_WARC_RECORDS = (
+    _pages_cte()
+    + r"""
+    , recs AS (
+        SELECT host,
+               'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10)
+               || 'WARC-Target-URI: ' || url || chr(10)
+               || 'WARC-Date: ' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+               || chr(10) || 'Content-Length: '
+               || CAST(CASE WHEN doc_id % 7 = 0 THEN 20
+                            ELSE length(substr(text, 1, 60)) END AS VARCHAR)
+               || chr(10) || chr(10) || substr(text, 1, 60)
+               || chr(10) || chr(10) AS record
+        FROM pages
+    )
+    , blobs AS (
+        SELECT host,
+               'WARC/1.0' || chr(10) || 'WARC-Type: warcinfo' || chr(10)
+               || 'X-Synth: 1' || chr(10) || chr(10)
+               || string_agg(record, '' ORDER BY record) AS warc
+        FROM recs GROUP BY host
+    )
+    , segs AS (
+        SELECT host,
+               unnest(regexp_split_to_array(
+                   warc, 'WARC/1\.0' || chr(10))) AS rec
+        FROM blobs
+    )
+    , fields AS (
+        SELECT host, rec,
+               nullif(regexp_extract(rec,
+                   'WARC-Type: ([^' || chr(10) || ']*)', 1), '')
+                   AS rec_type,
+               nullif(regexp_extract(rec,
+                   'WARC-Target-URI: ([^' || chr(10) || ']*)', 1), '')
+                   AS target_uri,
+               try_cast(regexp_extract(rec,
+                   'WARC-Date: ([^' || chr(10) || ']*)', 1) AS TIMESTAMP)
+                   AS warc_date,
+               regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS cl_s
+        FROM segs WHERE length(rec) > 0
+    )
+    SELECT host, rec_type, target_uri,
+           CAST(epoch(warc_date) AS BIGINT) AS warc_epoch,
+           try_cast(cl_s AS INTEGER) AS content_length,
+           CASE WHEN cl_s <> '' THEN substr(
+               regexp_extract(rec, '(?s)' || chr(10) || chr(10) || '(.*)$',
+                              1),
+               1, try_cast(cl_s AS INTEGER)) END AS payload
+    FROM fields
+"""
+)
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Adaptive re-crawl scheduling (snapshots.recrawl_priority):
+    per-url change rate from consecutive fingerprint transitions over
+    the multi-version store, mapped to the frontier's 0/1/2 priority
+    domain. The fixture yields all classes — single-observation urls
+    (rate 0 -> priority 2), always-changing (rate 1 -> 0), and
+    half-changing (0.5 -> 1). The oracle replays the same lag window
+    + thresholds."""
+    pages = pages_from_documents(spark, sf_dir)
+    obs = pages.select(
+        "url", "doc_id", "warc_ts",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+    ).select(
+        "url",
+        F.timestamp_add("MINUTE", F.col("v") * 90, F.col("warc_ts")).alias(
+            "snap_ts"
+        ),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("url"),
+                F.when(F.col("doc_id") % 2 == 0, F.col("v"))
+                .otherwise(F.floor(F.col("v") / 2))
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+    return snap_ops.recrawl_priority(obs, high=0.75, low=0.25)
+
+
+SQL_RECRAWL_PRIORITY = (
+    _pages_cte()
+    + """
+    , obs AS (
+        SELECT url,
+               warc_ts + g.v * INTERVAL 90 MINUTE AS snap_ts,
+               md5(url || ':' || CAST(CAST(
+                   CASE WHEN doc_id % 2 = 0 THEN g.v
+                        ELSE g.v // 2 END AS BIGINT) AS VARCHAR))
+                   AS fp
+        FROM pages, (SELECT unnest(range(0, 3)) AS v) g
+        WHERE g.v <= doc_id % 3
+    )
+    , trans AS (
+        SELECT url, fp,
+               lag(fp) OVER (PARTITION BY url ORDER BY snap_ts) AS prev
+        FROM obs
+    )
+    , per AS (
+        SELECT url, count(*) AS n_obs,
+               count(CASE WHEN prev IS NOT NULL AND prev <> fp
+                          THEN 1 END) AS n_changes
+        FROM trans GROUP BY url
+    )
+    SELECT url, n_obs, n_changes,
+           round(n_changes / CAST(greatest(n_obs - 1, 1) AS DOUBLE), 6)
+               AS change_rate,
+           CASE WHEN n_changes / CAST(greatest(n_obs - 1, 1) AS DOUBLE)
+                     > 0.75 THEN 0
+                WHEN n_changes / CAST(greatest(n_obs - 1, 1) AS DOUBLE)
+                     > 0.25 THEN 1
+                ELSE 2 END AS priority
+    FROM per
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2634,6 +2802,8 @@ QUERIES = {
     "fetch_retries": (q_fetch_retries, SQL_FETCH_RETRIES),
     "redirect_resolution": (q_redirect_resolution, SQL_REDIRECT_RESOLUTION),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "warc_records": (q_warc_records, SQL_WARC_RECORDS),
+    "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "multimodal_features": (q_multimodal_features, None),
 }
 

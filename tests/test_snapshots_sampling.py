@@ -212,3 +212,40 @@ def test_token_budget_mix_membership_and_clamp(spark):
     assert by.get("b", 0) == 10           # clamped group kept whole
     assert 0 < by["a"] < 200              # sampled down
     assert "c" not in set(kept.lang)      # unweighted group dropped
+
+
+def test_recrawl_priority_rates_and_buckets(spark):
+    """Change rate = consecutive-distinct transitions / (n_obs - 1);
+    single observation -> rate 0; buckets map to the frontier's 0/1/2
+    priority domain (fast-changing fetched first)."""
+    from news_combinator_spark.operators.snapshots import recrawl_priority
+
+    rows = []
+    # u:hot — 3 obs, all different: rate 1.0 -> priority 0
+    for v, fp in enumerate(["x", "y", "z"]):
+        rows.append(("u:hot", float(v), fp))
+    # u:half — 3 obs, one change: rate 0.5 -> priority 1
+    for v, fp in enumerate(["x", "x", "y"]):
+        rows.append(("u:half", float(v), fp))
+    # u:cold — 2 obs, same: rate 0 -> priority 2
+    for v, fp in enumerate(["x", "x"]):
+        rows.append(("u:cold", float(v), fp))
+    # u:once — 1 obs: rate 0 (no transition evidence) -> priority 2
+    rows.append(("u:once", 0.0, "x"))
+    # u:flap — A B A: both transitions are changes: rate 1 -> 0
+    for v, fp in enumerate(["a", "b", "a"]):
+        rows.append(("u:flap", float(v), fp))
+    obs = spark.createDataFrame(
+        rows, "url string, snap_ts double, fingerprint string"
+    )
+    got = {
+        r.url: (r.n_obs, r.n_changes, r.change_rate, r.priority)
+        for r in recrawl_priority(obs, high=0.75, low=0.25).collect()
+    }
+    assert got == {
+        "u:hot": (3, 2, 1.0, 0),
+        "u:half": (3, 1, 0.5, 1),
+        "u:cold": (2, 0, 0.0, 2),
+        "u:once": (1, 0, 0.0, 2),
+        "u:flap": (3, 2, 1.0, 0),
+    }
