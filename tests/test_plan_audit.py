@@ -230,6 +230,8 @@ _LAZY_QUERIES = [
     "hot_hosts", "snapshot_asof", "domain_mix", "robots_rules",
     "crawl_diff", "crawl_delay_budgets", "host_quality_filter",
     "sitemap_urls", "token_budget_mix",
+    "fetch_retries", "redirect_resolution", "anchor_texts",
+    "warc_records", "recrawl_priority",
 ]
 
 
@@ -327,3 +329,20 @@ def test_bucketed_fetch_join_shuffles_probe_side_only(spark, tmp_path):
     finally:
         spark.conf.unset(ordering_conf)
         spark.sql("DROP TABLE IF EXISTS web_meta_bucketed")
+
+
+def test_fetch_retry_ladder_is_shuffle_free(spark):
+    """The retry ladder is per-row arithmetic over a union of filters —
+    at 10^10 URLs any Exchange here would be pure waste. Pin: zero
+    Exchange nodes in the whole plan."""
+    plan = _simple(Q.q_fetch_retries(spark, SF_MED))
+    assert "Exchange" not in plan, plan
+
+
+def test_recrawl_priority_window_is_partitioned(spark):
+    """The change-rate lag window must partition by url — an
+    unpartitioned frame would coalesce the whole observation history
+    into one task."""
+    plan = _formatted(Q.q_recrawl_priority(spark, SF_MED))
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", plan):
+        assert "url" in m.group(1), plan
