@@ -103,6 +103,8 @@ SQL_BENCH_QUERIES = [
     "anchor_texts",
     "warc_records",
     "recrawl_priority",
+    "robots_sitemaps",
+    "conditional_fetch",
 ]
 
 

@@ -35,17 +35,17 @@ __all__ = [
     "rules_from_robots_txt",
     "crawl_delays_from_robots_txt",
     "budgets_from_delays",
+    "sitemaps_from_robots_txt",
 ]
 
 
-def _agent_group_lines(
+def _typed_lines(
     robots: DataFrame,
-    agent: str,
     host_col: str,
     txt_col: str,
 ) -> DataFrame:
-    """Parse bodies into per-line rows restricted to the groups that
-    apply to `agent`: (host, pos, is_ua, directive, value)."""
+    """Parse bodies into per-line directive rows:
+    (host, pos, directive, value, is_ua)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
@@ -69,9 +69,21 @@ def _agent_group_lines(
         F.trim(
             F.expr("substring(line, instr(line, ':') + 1)")
         ).alias("value"),
-    ).filter(F.length("line") > 0).withColumn(
+    )
+    return typed.filter(F.length("line") > 0).withColumn(
         "is_ua", F.col("directive") == "user-agent"
     )
+
+
+def _agent_group_lines(
+    robots: DataFrame,
+    agent: str,
+    host_col: str,
+    txt_col: str,
+) -> DataFrame:
+    """Restrict the per-line rows to the groups that apply to
+    `agent`: (host, pos, is_ua, directive, value)."""
+    typed = _typed_lines(robots, host_col, txt_col)
     w = Window.partitionBy("host").orderBy("pos")
     grouped = typed.withColumn(
         "new_group",
@@ -166,4 +178,29 @@ def budgets_from_delays(
             "host",
             F.coalesce("budget", F.lit(default_budget)).alias("budget"),
         )
+    )
+
+
+def sitemaps_from_robots_txt(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> distinct (host, sitemap_url) from
+    ``Sitemap:`` directives.
+
+    Per the protocol, Sitemap is NOT group-scoped — it applies
+    regardless of which User-agent group it appears inside — so this
+    reads ALL typed lines, not an agent's groups. The output feeds
+    `functions/sitemap.urls_from_sitemap`, chaining the two discovery
+    channels: robots.txt names the sitemaps, the sitemaps name the
+    URLs. Empty values are dropped; the URL value keeps its own
+    colons (absolute URLs are the common form)."""
+    typed = _typed_lines(robots, host_col, txt_col)
+    return (
+        typed.filter(
+            (F.col("directive") == "sitemap") & (F.length("value") > 0)
+        )
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
     )

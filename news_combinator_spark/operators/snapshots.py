@@ -183,3 +183,38 @@ def recrawl_priority(
         .cast("int")
         .alias("priority"),
     )
+
+
+def modified_candidates(
+    candidates: DataFrame,
+    store: DataFrame,
+    key: str = "url",
+    lastmod_col: str = "lastmod",
+    store_ts_col: str = "snap_ts",
+) -> DataFrame:
+    """Conditional-fetch gate: If-Modified-Since over the page store.
+
+    Drop a re-crawl candidate when its advertised last-modified stamp
+    (sitemap <lastmod>, or an HTTP Last-Modified echo) is no newer
+    than the store's latest snapshot of that url — the candidate
+    cannot yield new content, so fetching it wastes politeness
+    budget. Kept rows: never-stored urls, candidates with no
+    parseable lastmod (always re-crawlable, matching
+    `urls_from_sitemap`'s null semantics), and genuinely newer
+    stamps.
+
+    Scale shape: the store side reduces to one (key, max ts) row per
+    url via a map-side-combined groupBy before the join, so the wide
+    snapshot history never rides the candidate join; the join itself
+    is an AQE-planned equi-join on the url key.
+    """
+    latest = store.groupBy(key).agg(
+        F.max(store_ts_col).alias("_stored_ts")
+    )
+    joined = candidates.join(latest, key, "left")
+    keep = (
+        F.col("_stored_ts").isNull()
+        | F.col(lastmod_col).isNull()
+        | (F.col(lastmod_col) > F.col("_stored_ts"))
+    )
+    return joined.filter(keep).drop("_stored_ts")

@@ -2729,6 +2729,134 @@ SQL_RECRAWL_PRIORITY = (
 )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap directive discovery (robots.sitemaps_from_robots_txt):
+    `Sitemap:` lines are group-INDEPENDENT per protocol, so one inside
+    a bot-specific group must still surface; duplicates dedupe; the
+    URL value's own colons survive the directive split. Even-numbered
+    hosts advertise a second, shared-CDN sitemap."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    robots = pages.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("User-agent: fetchbot\nDisallow: /x\nSitemap: http://"),
+            F.col("host"),
+            F.lit("/sitemap-main.xml\n\nUser-agent: *\nDisallow: /y\n"),
+            F.when(
+                hn % 2 == 0,
+                F.concat(
+                    F.lit("Sitemap: http://cdn.example/shared/"),
+                    F.col("host"),
+                    F.lit(".xml\n"),
+                ),
+            ).otherwise(F.lit("# no shared map\n")),
+            F.lit("Sitemap: http://"),
+            F.col("host"),
+            F.lit("/sitemap-main.xml\n"),
+        ).alias("robots_txt"),
+    )
+    return rb.sitemaps_from_robots_txt(robots)
+
+
+SQL_ROBOTS_SITEMAPS = (
+    _pages_cte()
+    + r"""
+    , hosts AS (
+        SELECT DISTINCT host,
+               CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) AS hn
+        FROM pages
+    )
+    , robots AS (
+        SELECT host,
+          'User-agent: fetchbot' || chr(10) || 'Disallow: /x' || chr(10)
+          || 'Sitemap: http://' || host || '/sitemap-main.xml'
+          || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+          || 'Disallow: /y' || chr(10)
+          || CASE WHEN hn % 2 = 0
+                  THEN 'Sitemap: http://cdn.example/shared/' || host
+                       || '.xml' || chr(10)
+                  ELSE '# no shared map' || chr(10) END
+          || 'Sitemap: http://' || host || '/sitemap-main.xml' || chr(10)
+              AS txt
+        FROM hosts
+    )
+    , lines AS (
+        SELECT host,
+               trim(regexp_replace(u.raw, '#.*', '')) AS line
+        FROM robots, LATERAL (
+            SELECT unnest(regexp_split_to_array(txt, chr(10))) AS raw
+        ) u
+    )
+    SELECT DISTINCT host,
+           trim(substr(line, strpos(line, ':') + 1)) AS sitemap_url
+    FROM lines
+    WHERE length(line) > 0 AND strpos(line, ':') > 0
+      AND lower(trim(substr(line, 1, strpos(line, ':') - 1))) = 'sitemap'
+      AND length(trim(substr(line, strpos(line, ':') + 1))) > 0
+"""
+)
+
+
+def q_conditional_fetch(spark, sf_dir):
+    """If-Modified-Since gating (snapshots.modified_candidates): drop
+    re-crawl candidates whose advertised lastmod is no newer than the
+    store's latest snapshot. The fixture exercises every keep/drop
+    class — never-stored urls (doc_id%4==0), null lastmod
+    (doc_id%10==0), stamps straddling the stored snapshot ts both
+    ways. The oracle replays the max-reduce + gate in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    store = pages.filter(F.col("doc_id") % 4 != 0).select(
+        "url", "doc_id", "warc_ts",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+    ).select(
+        "url",
+        F.timestamp_add("MINUTE", F.col("v") * 90, F.col("warc_ts")).alias(
+            "snap_ts"
+        ),
+    )
+    cand = pages.select(
+        "url",
+        F.when(
+            F.col("doc_id") % 10 != 0,
+            F.timestamp_add(
+                "MINUTE",
+                ((F.col("doc_id") % 5) - 2).cast("int") * 120,
+                F.col("warc_ts"),
+            ),
+        ).alias("lastmod"),
+    )
+    kept = snap_ops.modified_candidates(cand, store)
+    return kept.select(
+        "url", F.col("lastmod").cast("long").alias("lastmod_epoch")
+    )
+
+
+SQL_CONDITIONAL_FETCH = (
+    _pages_cte()
+    + """
+    , store AS (
+        SELECT url, warc_ts + g.v * INTERVAL 90 MINUTE AS snap_ts
+        FROM pages, (SELECT unnest(range(0, 3)) AS v) g
+        WHERE g.v <= doc_id % 3 AND doc_id % 4 <> 0
+    )
+    , latest AS (SELECT url, max(snap_ts) AS st FROM store GROUP BY url)
+    , cand AS (
+        SELECT url,
+               CASE WHEN doc_id % 10 <> 0
+                    THEN warc_ts + (doc_id % 5 - 2) * INTERVAL 120 MINUTE
+               END AS lastmod
+        FROM pages
+    )
+    SELECT c.url, CAST(epoch(c.lastmod) AS BIGINT) AS lastmod_epoch
+    FROM cand c LEFT JOIN latest l ON c.url = l.url
+    WHERE l.st IS NULL OR c.lastmod IS NULL OR c.lastmod > l.st
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2804,6 +2932,8 @@ QUERIES = {
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "warc_records": (q_warc_records, SQL_WARC_RECORDS),
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
+    "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
+    "conditional_fetch": (q_conditional_fetch, SQL_CONDITIONAL_FETCH),
     "multimodal_features": (q_multimodal_features, None),
 }
 

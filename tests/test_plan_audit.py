@@ -231,7 +231,8 @@ _LAZY_QUERIES = [
     "crawl_diff", "crawl_delay_budgets", "host_quality_filter",
     "sitemap_urls", "token_budget_mix",
     "fetch_retries", "redirect_resolution", "anchor_texts",
-    "warc_records", "recrawl_priority",
+    "warc_records", "recrawl_priority", "robots_sitemaps",
+    "conditional_fetch",
 ]
 
 

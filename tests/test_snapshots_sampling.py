@@ -249,3 +249,31 @@ def test_recrawl_priority_rates_and_buckets(spark):
         "u:once": (1, 0, 0.0, 2),
         "u:flap": (3, 2, 1.0, 0),
     }
+
+
+def test_modified_candidates_gate(spark):
+    """Keep: never-stored, null lastmod, newer-than-stored. Drop:
+    lastmod at or before the store's latest snapshot."""
+    from news_combinator_spark.operators.snapshots import (
+        modified_candidates,
+    )
+
+    store = spark.createDataFrame(
+        [("u:a", 100.0), ("u:a", 200.0), ("u:b", 150.0)],
+        "url string, snap_ts double",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("u:new", 50.0),    # never stored -> keep
+            ("u:a", None),      # no lastmod -> keep
+            ("u:a", 250.0),     # newer than max(100,200) -> keep
+            ("u:a", 200.0),     # equal -> drop (nothing new)
+            ("u:b", 120.0),     # older -> drop
+        ],
+        "url string, lastmod double",
+    )
+    kept = {
+        (r.url, r.lastmod)
+        for r in modified_candidates(cand, store).collect()
+    }
+    assert kept == {("u:new", 50.0), ("u:a", None), ("u:a", 250.0)}
