@@ -105,6 +105,7 @@ SQL_BENCH_QUERIES = [
     "recrawl_priority",
     "robots_sitemaps",
     "conditional_fetch",
+    "boilerplate_removal",
 ]
 
 

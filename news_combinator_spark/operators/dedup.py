@@ -470,3 +470,98 @@ def dup_span_stats(
             F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
         )
     )
+
+
+def host_boilerplate_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\|",
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Host-scoped boilerplate detection: a line (text split on the
+    ``sep`` regex) is boilerplate for a host when it occurs in more
+    than ``min_frac`` of that host's documents — navigation chrome,
+    cookie banners, footer terms: the text that survives per-document
+    dedup because every PAGE of a site repeats it, not every copy of
+    a story (CCNet removes such lines by within-shard paragraph-hash
+    frequency; this is the host-keyed variant a crawl layout makes
+    natural). Returns (host, line).
+
+    Scale shape: two map-side-combined aggregations — per-(host,
+    line) distinct-doc counts and per-host doc counts — joined on
+    host. Lines shuffle as narrow (host, line, id) rows; no windows.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+    ).filter(F.length("line") > 0)
+    per_line = lines.groupBy("host", "line").agg(
+        F.countDistinct("id").alias("n_docs_with")
+    )
+    per_host = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        per_line.join(per_host, "host")
+        .filter(F.col("n_docs_with") / F.col("n_docs") > min_frac)
+        .select("host", "line")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    boiler: DataFrame | None = None,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\|",
+    join_sep: str = "|",
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Strip each document's host-boilerplate lines and reassemble the
+    survivors in document order: (id, host, clean_text, n_lines,
+    n_removed).
+
+    ``boiler`` defaults to ``host_boilerplate_lines`` over the same
+    frame. Documents whose every line is boilerplate are dropped —
+    they carry no content (the curation consumer counts them via the
+    input-output id difference). Reassembly is collect_list of
+    (pos, line) structs sorted in-array — per-document state, never a
+    window over the corpus.
+    """
+    if boiler is None:
+        boiler = host_boilerplate_lines(
+            df, host_col, id_col, text_col, sep, min_frac
+        )
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).filter(F.length("line") > 0)
+    kept = lines.join(boiler, ["host", "line"], "left_anti")
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    out = (
+        kept.groupBy("id", "host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s.line,
+                ),
+                join_sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return out.join(totals, "id").select(
+        F.col("id").alias(id_col),
+        F.col("host").alias(host_col),
+        "clean_text",
+        "n_lines",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+    )

@@ -2857,6 +2857,80 @@ SQL_CONDITIONAL_FETCH = (
 )
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Host-scoped boilerplate stripping (dedup.remove_boilerplate):
+    pipe-delimited page lines where nav header and footer appear in
+    100% of a host's docs (removed), a promo line in 20% (kept —
+    below the 0.5 threshold), and the body is unique (kept);
+    reassembly restores document order. The oracle replays the
+    line-frequency detection and ordered reassembly in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    ptext = F.concat(
+        F.lit("NAV "), F.col("host"), F.lit(" home|"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("PROMO "), F.col("host"), F.lit("|")),
+        ).otherwise(F.lit("")),
+        F.substring("text", 1, 80),
+        F.lit("|Footer terms "), F.col("host"),
+    )
+    docs = pages.select("doc_id", "host", ptext.alias("text"))
+    return dd.remove_boilerplate(docs, min_frac=0.5)
+
+
+SQL_BOILERPLATE_REMOVAL = (
+    _pages_cte()
+    + """
+    , lined AS (
+        SELECT doc_id, host,
+               'NAV ' || host || ' home|'
+               || CASE WHEN doc_id % 5 = 0
+                       THEN 'PROMO ' || host || '|' ELSE '' END
+               || substr(text, 1, 80)
+               || '|Footer terms ' || host AS ptext
+        FROM pages
+    )
+    , lines AS (
+        SELECT doc_id, host, u.pos, u.line
+        FROM lined, LATERAL (
+            SELECT unnest(string_split(ptext, '|')) AS line,
+                   generate_subscripts(string_split(ptext, '|'), 1) AS pos
+        ) u
+        WHERE length(u.line) > 0
+    )
+    , per_line AS (
+        SELECT host, line, count(DISTINCT doc_id) AS nw
+        FROM lines GROUP BY host, line
+    )
+    , per_host AS (
+        SELECT host, count(DISTINCT doc_id) AS nd FROM lined GROUP BY host
+    )
+    , boiler AS (
+        SELECT l.host, l.line
+        FROM per_line l JOIN per_host h ON l.host = h.host
+        WHERE nw / CAST(nd AS DOUBLE) > 0.5
+    )
+    , kept AS (
+        SELECT l.doc_id, l.host, l.pos, l.line
+        FROM lines l ANTI JOIN boiler b
+          ON l.host = b.host AND l.line = b.line
+    )
+    , assembled AS (
+        SELECT doc_id, host,
+               string_agg(line, '|' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id, host
+    )
+    , totals AS (
+        SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.host, a.clean_text, t.n_lines,
+           t.n_lines - a.n_kept AS n_removed
+    FROM assembled a JOIN totals t ON a.doc_id = t.doc_id
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2934,6 +3008,7 @@ QUERIES = {
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "conditional_fetch": (q_conditional_fetch, SQL_CONDITIONAL_FETCH),
+    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "multimodal_features": (q_multimodal_features, None),
 }
 

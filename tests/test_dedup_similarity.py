@@ -328,3 +328,31 @@ def test_duplicated_spans_vs_bruteforce(spark):
     assert set(stats) == set(n_win_by_doc)  # doc 3: no windows, absent
     for d in stats:
         assert stats[d] == (n_win_by_doc[d], n_dup_by_doc.get(d, 0)), d
+
+
+def test_remove_boilerplate_host_scoped(spark):
+    """Lines over the host-frequency threshold strip; reassembly keeps
+    document order; a fully-boilerplate doc drops; the same line on
+    another host is NOT boilerplate there (host-scoped counts)."""
+    from news_combinator_spark.operators.dedup import remove_boilerplate
+
+    rows = [
+        # host A: NAV in 3/3 docs (boiler), PROMO in 1/3 (kept)
+        (1, "A", "NAV|alpha body|PROMO|end one"),
+        (2, "A", "NAV|beta body|end two"),
+        (3, "A", "NAV"),                      # fully boilerplate -> drops
+        # host B: NAV in 1/2 docs -> NOT boilerplate on B
+        (4, "B", "NAV|gamma body"),
+        (5, "B", "delta body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in remove_boilerplate(df, min_frac=0.5).collect()
+    }
+    assert out == {
+        1: ("alpha body|PROMO|end one", 4, 1),
+        2: ("beta body|end two", 3, 1),
+        4: ("NAV|gamma body", 2, 0),
+        5: ("delta body", 1, 0),
+    }
