@@ -329,9 +329,14 @@ def connected_components(
     max_iter)."""
     import warnings
 
+    # materialize the symmetric edge list ONCE: it is re-joined every
+    # iteration, and without this the whole upstream edge derivation
+    # (e.g. the MinHash -> banding -> verify pipeline feeding
+    # near_dup_groups) re-executes per round — measured as the
+    # dominant cost of the CC loop at bench scale
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     nodes = sym.select(F.col("a").alias("doc_id")).distinct()
     labels = nodes.withColumn("component", F.col("doc_id")).localCheckpoint()
     for _ in range(max_iter):
