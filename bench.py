@@ -106,6 +106,7 @@ SQL_BENCH_QUERIES = [
     "robots_sitemaps",
     "conditional_fetch",
     "boilerplate_removal",
+    "gopher_rules",
 ]
 
 

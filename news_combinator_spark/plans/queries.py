@@ -2931,6 +2931,94 @@ SQL_BOILERPLATE_REMOVAL = (
 )
 
 
+_GOPHER_STOPS = (
+    "the", "a", "of", "and", "to", "in", "be", "that", "with", "have",
+)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery (Rae et al. 2021, the
+    de-facto public filtering baseline): per-doc word count bounds,
+    mean word length 3-10, symbol(#/ellipsis)-to-word ratio <= 0.1,
+    >= 80% words containing an alphabetic char, and >= 2 distinct
+    English stop words — the subset expressible without line
+    structure (the bullet/ellipsis line rules need line-delimited
+    text; see boilerplate_removal for the line-level machinery).
+    All rules are per-row JVM array/regexp expressions — zero
+    shuffles; the word-count and stop-word rules split this corpus so
+    both keep outcomes are under the hash gate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ws = F.split(F.trim("text"), " ")
+    n = F.size(ws)
+    sum_len = F.expr(
+        "aggregate(transform(split(trim(text), ' '), x -> length(x)),"
+        " 0, (a, x) -> a + x)"
+    )
+    n_alpha = F.expr(
+        "size(filter(split(trim(text), ' '), x -> x rlike '[a-zA-Z]'))"
+    )
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    n_stops = F.expr(
+        "size(array_intersect(array_distinct(split(trim(text), ' ')),"
+        f" array({stops})))"
+    )
+    n_sym = F.regexp_count("text", F.lit("#")) + F.regexp_count(
+        "text", F.lit(r"\.\.\.")
+    )
+    mean_wlen = sum_len / n
+    alpha_frac = n_alpha / n
+    sym_ratio = n_sym / n
+    keep = (
+        (n >= 50) & (n <= 100000)
+        & (mean_wlen >= 3) & (mean_wlen <= 10)
+        & (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stops >= 2)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        n.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stops.alias("n_stop_words"),
+        keep.alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = r"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               string_split(trim(text), ' ') AS ws,
+               len(regexp_extract_all(text, '#', 0))
+               + len(regexp_extract_all(text, '\.\.\.', 0)) AS n_sym
+        FROM documents
+    )
+    , m AS (
+        SELECT doc_id, lang,
+               len(ws) AS n_words,
+               list_sum(list_transform(ws, x -> len(x)))
+                   / CAST(len(ws) AS DOUBLE) AS mean_wlen,
+               len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                   / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+               len(list_intersect(list_distinct(ws),
+                   ['the','a','of','and','to','in','be','that','with',
+                    'have'])) AS n_stops,
+               n_sym / CAST(len(ws) AS DOUBLE) AS sym_ratio
+        FROM w
+    )
+    SELECT doc_id, lang, n_words,
+           round(mean_wlen, 4) AS mean_word_len,
+           round(alpha_frac, 4) AS alpha_word_frac,
+           n_stops AS n_stop_words,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wlen >= 3 AND mean_wlen <= 10
+            AND sym_ratio <= 0.1
+            AND alpha_frac >= 0.8
+            AND n_stops >= 2) AS keep
+    FROM m
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3009,6 +3097,7 @@ QUERIES = {
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "conditional_fetch": (q_conditional_fetch, SQL_CONDITIONAL_FETCH),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "multimodal_features": (q_multimodal_features, None),
 }
 

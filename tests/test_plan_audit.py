@@ -232,7 +232,7 @@ _LAZY_QUERIES = [
     "sitemap_urls", "token_budget_mix",
     "fetch_retries", "redirect_resolution", "anchor_texts",
     "warc_records", "recrawl_priority", "robots_sitemaps",
-    "conditional_fetch", "boilerplate_removal",
+    "conditional_fetch", "boilerplate_removal", "gopher_rules",
 ]
 
 
