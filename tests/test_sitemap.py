@@ -53,3 +53,60 @@ def test_multiline_pretty_printed_sitemap(spark):
     assert sorted(rows) == ["http://h1.test/x", "http://h1.test/y"]
     assert rows["http://h1.test/x"].lastmod.isoformat() == "2024-02-03T04:05:06"
     assert rows["http://h1.test/y"].lastmod is None
+
+
+def test_discovery_channel_composition(spark):
+    """robots.txt names the sitemaps, the sitemaps name the URLs, the
+    store's lastmod gate drops what cannot have changed — the full
+    sitemap discovery channel, chained end-to-end into frontier-ready
+    candidates."""
+    from news_combinator_spark.functions.robots import (
+        sitemaps_from_robots_txt,
+    )
+    from news_combinator_spark.operators.snapshots import (
+        modified_candidates,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.test",
+          "User-agent: *\nDisallow: /x\nSitemap: http://h.test/sm.xml\n")],
+        "host string, robots_txt string",
+    )
+    maps = sitemaps_from_robots_txt(robots)
+    assert [r.sitemap_url for r in maps.collect()] == [
+        "http://h.test/sm.xml"
+    ]
+
+    # fetching the named sitemap yields a body; parse it
+    bodies = maps.join(
+        spark.createDataFrame(
+            [("http://h.test/sm.xml",
+              "<urlset>\n"
+              "<url>\n  <loc>http://h.test/fresh</loc>\n"
+              "  <lastmod>2024-02-01T00:00:00</lastmod>\n</url>\n"
+              "<url>\n  <loc>http://h.test/stale</loc>\n"
+              "  <lastmod>2024-01-01T00:00:00</lastmod>\n</url>\n"
+              "<url>\n  <loc>http://h.test/unknown</loc>\n</url>\n"
+              "</urlset>")],
+            "sitemap_url string, sitemap_xml string",
+        ),
+        "sitemap_url",
+    )
+    urls = urls_from_sitemap(bodies)
+    assert urls.count() == 3
+
+    # store has both known urls as of mid-January
+    store = spark.createDataFrame(
+        [("http://h.test/fresh", "2024-01-15 00:00:00"),
+         ("http://h.test/stale", "2024-01-15 00:00:00")],
+        "url string, snap_ts string",
+    ).selectExpr("url", "cast(snap_ts as timestamp) as snap_ts")
+    cand = urls.selectExpr("loc as url", "lastmod")
+    kept = sorted(
+        r.url
+        for r in modified_candidates(cand, store, lastmod_col="lastmod")
+        .collect()
+    )
+    # fresh: lastmod after snapshot -> re-fetch; stale: dropped;
+    # unknown lastmod: always re-crawlable
+    assert kept == ["http://h.test/fresh", "http://h.test/unknown"]
