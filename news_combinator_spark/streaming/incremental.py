@@ -181,3 +181,43 @@ def streaming_seen_filter(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_warc_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "warc_ingest",
+):
+    """Structured Streaming WARC ingestion: watch a directory for
+    ``*.warc`` text files (one blob per file, the fetcher's landing
+    zone), parse each into records with the SAME JVM expressions the
+    batch path uses (functions/warc.records_from_warc works unchanged
+    on a streaming frame — it is pure select/explode/regexp), keyed by
+    the source file's stem. Memory sink for test observability; a
+    production sink is the observation store's append path.
+
+    This is the streaming half of the ingestion pipeline pinned by
+    tests/test_warc.py::test_warc_ingestion_pipeline — new files
+    become micro-batches, so a continuously-landing crawl feeds the
+    store without a driver-side rescan of old files.
+    """
+    from ..functions.warc import records_from_warc
+
+    blobs = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(input_dir)
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+)\.warc", 1
+            ).alias("source"),
+            F.col("value").alias("warc"),
+        )
+    )
+    records = records_from_warc(blobs, blob_col="warc", id_col="source")
+    return (
+        records.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

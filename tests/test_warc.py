@@ -139,3 +139,46 @@ def test_warc_ingestion_pipeline(spark, tmp_path):
         "http://s.test/b": 2,
         "http://s.test/c": 2,
     }
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Files landing in the watch directory parse per micro-batch with
+    the same envelope semantics as the batch parser."""
+    import time
+
+    from news_combinator_spark.streaming.incremental import (
+        streaming_warc_ingest,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    (in_dir / "w1.warc").write_text(_wave_blob(1, [
+        ("http://s.test/a", "a-v1"), ("http://s.test/b", "b-v1"),
+    ]))
+    (in_dir / "w2.warc").write_text(_wave_blob(2, [
+        ("http://s.test/a", "a-v2"),
+    ]))
+    q = streaming_warc_ingest(spark, str(in_dir), query_name="warc_t")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) FROM warc_t").collect()[0][0]
+            if n >= 5:
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "SELECT source, rec_type, target_uri, payload FROM warc_t"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(rows) == 5  # 2 warcinfo + 3 responses
+    resp = {
+        (r.source, r.target_uri): r.payload
+        for r in rows if r.rec_type == "response"
+    }
+    assert resp == {
+        ("w1", "http://s.test/a"): "a-v1",
+        ("w1", "http://s.test/b"): "b-v1",
+        ("w2", "http://s.test/a"): "a-v2",
+    }
