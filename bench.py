@@ -107,6 +107,7 @@ SQL_BENCH_QUERIES = [
     "conditional_fetch",
     "boilerplate_removal",
     "gopher_rules",
+    "priority_boosts",
 ]
 
 

@@ -406,6 +406,50 @@ def crawl(
     return CrawlResult(fetched=result, lineage=lineage)
 
 
+def apply_priority_boosts(
+    frontier: DataFrame,
+    host_boosts: DataFrame | None = None,
+    url_boosts: DataFrame | None = None,
+    lo: int = 0,
+    hi: int = 2,
+) -> DataFrame:
+    """Fold ranking signals into the scheduler's priority key.
+
+    The frontier orders fetches by (priority, url) within a host
+    (lower = sooner); this is where the engine's derived signals —
+    link centrality (`linkgraph.host_rank`), change frequency
+    (`snapshots.recrawl_priority`), curation tiers — actually reach
+    the schedule: effective = clamp(priority - host_boost - url_boost,
+    lo, hi). host_boosts is (host, boost int) and broadcasts (host
+    cardinality is partition-sized); url_boosts is (url, boost int)
+    and joins as an ordinary AQE-planned equi-join. Missing keys
+    boost 0, so passing None leaves the frontier unchanged.
+    """
+    out = frontier
+    boost = F.lit(0)
+    if host_boosts is not None:
+        out = out.join(
+            F.broadcast(
+                host_boosts.select("host", F.col("boost").alias("_hb"))
+            ),
+            "host", "left",
+        )
+        boost = boost + F.coalesce("_hb", F.lit(0))
+    if url_boosts is not None:
+        out = out.join(
+            url_boosts.select("url", F.col("boost").alias("_ub")),
+            "url", "left",
+        )
+        boost = boost + F.coalesce("_ub", F.lit(0))
+    out = out.withColumn(
+        "priority",
+        F.greatest(
+            F.lit(lo), F.least(F.lit(hi), F.col("priority") - boost)
+        ).cast("int"),
+    )
+    return out.drop("_hb", "_ub")
+
+
 def _fail_threshold_hex(fail_frac: float) -> str:
     """fail_frac in [0,1] -> 13-hex-digit lowercase threshold (the
     sampling.keep_hash convention: 52 bits, exact in a double)."""

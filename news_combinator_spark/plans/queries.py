@@ -3019,6 +3019,48 @@ SQL_GOPHER_RULES = r"""
 """
 
 
+def q_priority_boosts(spark, sf_dir):
+    """Signal-to-scheduler glue (frontier.apply_priority_boosts):
+    fold a host-level boost (every 4th host — the host_rank /
+    curation tier shape) and a url-level boost (every 6th doc — the
+    recrawl change-rate shape) into the frontier's priority key with
+    clamping at both ends. The oracle replays the joins and the
+    clamp arithmetic."""
+    pages = pages_from_documents(spark, sf_dir)
+    frontier = pages.select("url", "host", "priority")
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    host_boosts = (
+        pages.select("host").distinct()
+        .select("host", (hn % 4 == 0).cast("int").alias("boost"))
+        .filter("boost > 0")
+    )
+    url_boosts = pages.filter(F.col("doc_id") % 6 == 0).select(
+        "url", F.lit(2).alias("boost")
+    )
+    return fr.apply_priority_boosts(frontier, host_boosts, url_boosts)
+
+
+SQL_PRIORITY_BOOSTS = (
+    _pages_cte()
+    + r"""
+    , hb AS (
+        SELECT DISTINCT host, 1 AS boost FROM pages
+        WHERE CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) % 4 = 0
+    )
+    , ub AS (
+        SELECT url, 2 AS boost FROM pages WHERE doc_id % 6 = 0
+    )
+    SELECT p.url, p.host,
+           greatest(0, least(2,
+               p.priority - coalesce(hb.boost, 0) - coalesce(ub.boost, 0)
+           )) AS priority
+    FROM pages p
+    LEFT JOIN hb ON p.host = hb.host
+    LEFT JOIN ub ON p.url = ub.url
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3098,6 +3140,7 @@ QUERIES = {
     "conditional_fetch": (q_conditional_fetch, SQL_CONDITIONAL_FETCH),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "priority_boosts": (q_priority_boosts, SQL_PRIORITY_BOOSTS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -397,3 +397,32 @@ def test_resolve_redirects_statuses(spark):
         "u:cycA": ("u:cycA", 2, "loop"),
         "u:long0": ("u:long3", 3, "truncated"),
     }
+
+
+def test_apply_priority_boosts_clamps_and_composes(spark):
+    """Host and url boosts subtract from priority, clamped to [0, 2];
+    unmatched keys are unchanged; None inputs are identity."""
+    from news_combinator_spark.operators.frontier import (
+        apply_priority_boosts,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("u1", "hA", 2), ("u2", "hA", 0),
+            ("u3", "hB", 2), ("u4", "hC", 1),
+        ],
+        "url string, host string, priority int",
+    )
+    hb = spark.createDataFrame([("hA", 1)], "host string, boost int")
+    ub = spark.createDataFrame([("u3", 5)], "url string, boost int")
+    got = {
+        r.url: r.priority
+        for r in apply_priority_boosts(frontier, hb, ub).collect()
+    }
+    # u1: 2-1=1; u2: 0-1 clamps to 0; u3: 2-5 clamps to 0; u4 untouched
+    assert got == {"u1": 1, "u2": 0, "u3": 0, "u4": 1}
+    same = {
+        r.url: r.priority
+        for r in apply_priority_boosts(frontier).collect()
+    }
+    assert same == {"u1": 2, "u2": 0, "u3": 2, "u4": 1}
