@@ -108,6 +108,7 @@ SQL_BENCH_QUERIES = [
     "boilerplate_removal",
     "gopher_rules",
     "priority_boosts",
+    "global_cap",
 ]
 
 

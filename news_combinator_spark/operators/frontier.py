@@ -136,6 +136,41 @@ def schedule_per_host(
     )
 
 
+def schedule_with_global_cap(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    global_cap: int,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Politeness budgets + a GLOBAL per-round fetch cap.
+
+    Per-host budgets bound what each host tolerates; the cluster's
+    fetch capacity per round (egress, proxy pool) is a separate global
+    bound. Of the budget-taken rows, keep the first ``global_cap`` in
+    the crawl's total order (priority, host, url); the rest defer to
+    the next round exactly like budget-deferred rows.
+
+    The cap rank reuses `ranking.partitioned_global_rank` — per-
+    (priority, host) local ranks plus a broadcast prefix-sum over the
+    tiny counts frame — so no data-sized single-partition stage exists
+    here either (same machinery as fetch_order).
+    """
+    sched = schedule_per_host(frontier, budgets, salt_buckets)
+    taken = sched.filter("taken").drop("taken")
+    deferred = sched.filter("NOT taken").drop("taken")
+    ranked = partitioned_global_rank(
+        taken,
+        part_cols=["priority", "host"],
+        order_cols=["url"],
+        out_col="_gr",
+    )
+    kept = ranked.filter(F.col("_gr") <= global_cap).drop("_gr")
+    over = ranked.filter(F.col("_gr") > global_cap).drop("_gr")
+    return kept.withColumn("taken", F.lit(True)).unionByName(
+        over.unionByName(deferred).withColumn("taken", F.lit(False))
+    )
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop candidate URLs disallowed by a (host, path-prefix) rule.
 

@@ -62,3 +62,48 @@ def pack_sequences(
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_records: int,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Export a corpus as deterministic fixed-size shards — the
+    training loader's contract: shard k holds rows (k*shard_records,
+    (k+1)*shard_records] of the total order over ``order_cols``, so
+    any reader reproduces the same sample order regardless of the
+    cluster that wrote it.
+
+    Shard assignment reuses the two-level prefix-sum rank
+    (`ranking.partitioned_global_rank` over ``group_cols`` defaulting
+    to the first order col) — no single-partition stage — and each
+    shard is one output task via repartition on the shard id, giving
+    one file per shard. Returns the shard count.
+    """
+    from .ranking import partitioned_global_rank
+
+    group_cols = group_cols or [order_cols[0]]
+    within = [c for c in order_cols if c not in group_cols] or order_cols
+    ranked = partitioned_global_rank(
+        df, part_cols=group_cols, order_cols=within, out_col="_rank"
+    )
+    sharded = ranked.withColumn(
+        "shard",
+        ((F.col("_rank") - 1) / F.lit(shard_records)).cast("long"),
+    ).drop("_rank")
+    n_shards = sharded.agg(
+        (F.max("shard") + 1).cast("int").alias("n")
+    ).collect()[0]["n"]
+    (
+        sharded.repartition(max(int(n_shards), 1), "shard")
+        .sortWithinPartitions("shard", *order_cols)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+    return int(n_shards)

@@ -3061,6 +3061,44 @@ SQL_PRIORITY_BOOSTS = (
 )
 
 
+def q_global_cap(spark, sf_dir):
+    """Global per-round fetch cap (frontier.schedule_with_global_cap):
+    per-host budget 50 takes 200 rows at sf0.01, the global cap 100
+    then defers the back half of the crawl's total order (priority,
+    host, url) — both defer reasons (budget and cap) are in the
+    output. The engine's cap rank is the two-level prefix-sum
+    machinery; the oracle uses a plain global window (fine at oracle
+    scale) over the same order."""
+    pages = pages_from_documents(spark, sf_dir)
+    frontier = pages.select("url", "host", "priority")
+    budgets = pages.select("host").distinct().withColumn(
+        "budget", F.lit(50)
+    )
+    return fr.schedule_with_global_cap(frontier, budgets, global_cap=100)
+
+
+SQL_GLOBAL_CAP = (
+    _pages_cte()
+    + """
+    , t AS (
+        SELECT url, host, priority,
+               row_number() OVER (
+                   PARTITION BY host ORDER BY priority, url
+               ) <= 50 AS btaken
+        FROM pages
+    )
+    , g AS (
+        SELECT url, host, priority,
+               row_number() OVER (ORDER BY priority, host, url) AS gr
+        FROM t WHERE btaken
+    )
+    SELECT url, host, priority, gr <= 100 AS taken FROM g
+    UNION ALL
+    SELECT url, host, priority, false AS taken FROM t WHERE NOT btaken
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3141,6 +3179,7 @@ QUERIES = {
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "priority_boosts": (q_priority_boosts, SQL_PRIORITY_BOOSTS),
+    "global_cap": (q_global_cap, SQL_GLOBAL_CAP),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -426,3 +426,33 @@ def test_apply_priority_boosts_clamps_and_composes(spark):
         for r in apply_priority_boosts(frontier).collect()
     }
     assert same == {"u1": 2, "u2": 0, "u3": 2, "u4": 1}
+
+
+def test_schedule_with_global_cap_order_and_defers(spark):
+    """Cap keeps exactly the first N of the total (priority, host,
+    url) order among budget-taken rows; budget-deferred rows stay
+    deferred regardless of cap headroom."""
+    from news_combinator_spark.operators.frontier import (
+        schedule_with_global_cap,
+    )
+
+    rows = [
+        ("u1", "hA", 0), ("u2", "hA", 0), ("u3", "hA", 1),
+        ("u4", "hB", 0), ("u5", "hB", 1),
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, priority int"
+    )
+    budgets = spark.createDataFrame(
+        [("hA", 2), ("hB", 2)], "host string, budget int"
+    )
+    out = {
+        r.url: r.taken
+        for r in schedule_with_global_cap(frontier, budgets, 3).collect()
+    }
+    # budget takes u1,u2 (hA best-2) u4,u5 (hB both); u3 budget-deferred.
+    # total order of taken: (0,hA,u1),(0,hA,u2),(0,hB,u4),(1,hB,u5)
+    # -> cap 3 keeps u1,u2,u4; u5 cap-deferred, u3 budget-deferred
+    assert out == {
+        "u1": True, "u2": True, "u4": True, "u5": False, "u3": False,
+    }

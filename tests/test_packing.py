@@ -64,3 +64,51 @@ def test_pack_sequences_precomputed_token_col(spark):
         ).collect()
     }
     assert out == {1: (0, 0), 2: (0, 10), 3: (1, 5)}
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shards hold contiguous slices of the total order at the
+    declared size; a re-write from a differently-partitioned input
+    produces the identical assignment."""
+    from news_combinator_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    df = spark.range(0, 95).selectExpr(
+        "concat('g', cast(id % 7 as string)) AS grp",
+        "id AS doc_id",
+    )
+    out = tmp_path / "shards"
+    n = write_training_shards(
+        df, str(out), shard_records=10, order_cols=["grp", "doc_id"],
+        group_cols=["grp"],
+    )
+    assert n == 10  # ceil(95/10)
+    back = spark.read.parquet(str(out))
+    sizes = {
+        r.shard: r.n
+        for r in back.groupBy("shard").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert sum(sizes.values()) == 95
+    assert all(v == 10 for s, v in sizes.items() if s < 9)
+    assert sizes[9] == 5
+    # shard 0 holds the FIRST 10 rows of the (grp, doc_id) total order
+    first = sorted(
+        (r.grp, r.doc_id)
+        for r in back.filter("shard = 0").collect()
+    )
+    expected = sorted(
+        (f"g{i % 7}", i) for i in range(95)
+    )[:10]
+    assert first == expected
+    # determinism under different input partitioning
+    n2 = write_training_shards(
+        df.repartition(13), str(tmp_path / "shards2"),
+        shard_records=10, order_cols=["grp", "doc_id"],
+        group_cols=["grp"],
+    )
+    back2 = spark.read.parquet(str(tmp_path / "shards2"))
+    a = sorted((r.shard, r.grp, r.doc_id) for r in back.collect())
+    b = sorted((r.shard, r.grp, r.doc_id) for r in back2.collect())
+    assert n2 == n and a == b
