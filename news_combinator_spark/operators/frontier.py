@@ -155,7 +155,12 @@ def schedule_with_global_cap(
     tiny counts frame — so no data-sized single-partition stage exists
     here either (same machinery as fetch_order).
     """
-    sched = schedule_per_host(frontier, budgets, salt_buckets)
+    # both output branches and the cap rank re-read these frames;
+    # lazy local checkpoints materialize each once at first action
+    # instead of re-running the politeness window per branch
+    sched = schedule_per_host(frontier, budgets, salt_buckets).localCheckpoint(
+        eager=False
+    )
     taken = sched.filter("taken").drop("taken")
     deferred = sched.filter("NOT taken").drop("taken")
     ranked = partitioned_global_rank(
@@ -163,7 +168,7 @@ def schedule_with_global_cap(
         part_cols=["priority", "host"],
         order_cols=["url"],
         out_col="_gr",
-    )
+    ).localCheckpoint(eager=False)
     kept = ranked.filter(F.col("_gr") <= global_cap).drop("_gr")
     over = ranked.filter(F.col("_gr") > global_cap).drop("_gr")
     return kept.withColumn("taken", F.lit(True)).unionByName(
