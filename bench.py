@@ -109,6 +109,7 @@ SQL_BENCH_QUERIES = [
     "gopher_rules",
     "priority_boosts",
     "global_cap",
+    "url_templates",
 ]
 
 

@@ -3099,6 +3099,75 @@ SQL_GLOBAL_CAP = (
 )
 
 
+def q_url_templates(spark, sf_dir):
+    """URL template mining / crawler-trap detection: collapse numeric
+    runs in the path to '{n}' and count URLs per (host, template) —
+    calendar pages, session ids, and faceted search produce templates
+    whose URL counts explode, the classic infinite-space trap a
+    frontier must down-prioritize. A template is flagged when it
+    covers more than 20% of its host's URLs. The candidate set is the
+    page URLs plus a sparse paginated variant (every 20th doc), so the
+    dominant article template flags and the rare pagination template
+    does not. Pure JVM regexp + two map-side-combined aggregations;
+    the oracle replays both."""
+    pages = pages_from_documents(spark, sf_dir)
+    cand = pages.select("host", "url").unionByName(
+        pages.filter(F.col("doc_id") % 20 == 0).select(
+            "host",
+            F.concat(
+                "url", F.lit("?page="), F.col("doc_id").cast("string")
+            ).alias("url"),
+        )
+    )
+    path = F.regexp_replace(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    tmpl = F.regexp_replace(path, "[0-9]+", "{n}")
+    per_tmpl = (
+        cand.select("host", tmpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    per_host = cand.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_host_urls")
+    )
+    return per_tmpl.join(per_host, "host").select(
+        "host", "template", "n_urls",
+        (F.col("n_urls") / F.col("n_host_urls") > 0.2).alias("is_trap"),
+    )
+
+
+SQL_URL_TEMPLATES = (
+    _pages_cte()
+    + r"""
+    , cand AS (
+        SELECT host, url FROM pages
+        UNION ALL
+        SELECT host, url || '?page=' || CAST(doc_id AS VARCHAR)
+        FROM pages WHERE doc_id % 20 = 0
+    )
+    , t AS (
+        SELECT host,
+               regexp_replace(
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*',
+                                  ''),
+                   '[0-9]+', '{n}', 'g') AS template
+        FROM cand
+    )
+    , per_tmpl AS (
+        SELECT host, template, count(*) AS n_urls
+        FROM t GROUP BY host, template
+    )
+    , per_host AS (
+        SELECT host, count(*) AS n_host_urls FROM cand GROUP BY host
+    )
+    SELECT p.host, p.template, p.n_urls,
+           p.n_urls / CAST(h.n_host_urls AS DOUBLE) > 0.2 AS is_trap
+    FROM per_tmpl p JOIN per_host h ON p.host = h.host
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3180,6 +3249,7 @@ QUERIES = {
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "priority_boosts": (q_priority_boosts, SQL_PRIORITY_BOOSTS),
     "global_cap": (q_global_cap, SQL_GLOBAL_CAP),
+    "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -233,7 +233,7 @@ _LAZY_QUERIES = [
     "fetch_retries", "redirect_resolution", "anchor_texts",
     "warc_records", "recrawl_priority", "robots_sitemaps",
     "conditional_fetch", "boilerplate_removal", "gopher_rules",
-    "priority_boosts", "global_cap",
+    "priority_boosts", "global_cap", "url_templates",
 ]
 
 
