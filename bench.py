@@ -110,6 +110,7 @@ SQL_BENCH_QUERIES = [
     "priority_boosts",
     "global_cap",
     "url_templates",
+    "robots_longest_match",
 ]
 
 

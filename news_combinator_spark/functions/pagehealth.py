@@ -1,0 +1,138 @@
+"""Page-health signals: soft-404 detection and mojibake repair.
+
+Two content-quality gates every Common-Crawl-style pipeline runs
+between fetch and corpus admission (the reference runs its crawler
+output straight into extraction — `crawler.php` keeps whatever the
+fetch returned, including error bodies served with HTTP 200, and
+`reconstruction/` inherits them; these operators give the engine the
+filter the reference lacks):
+
+- **Soft 404**: a page served with status 200 whose CONTENT is an
+  error page ("404 Not Found", "page does not exist", ...). Signals:
+  an error phrase in the title/h1, and a tiny extracted-text length
+  for a non-tiny html body (error templates are mostly chrome).
+- **Mojibake**: UTF-8 bytes decoded as Latin-1/cp1252 somewhere in
+  the pipeline leave signature two-codepoint sequences (``â€™`` for
+  ``’``, ``Ã©`` for ``é``). Detection counts signature hits; repair
+  inverts the common sequences via a fixed replace chain.
+
+Scale design: every function here emits per-row JVM expressions
+(regexp/length/replace) — zero shuffles, whole-stage-codegen
+friendly, and they compose with any scan so Catalyst pushes the
+resulting filters to the parquet read when possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "SOFT404_TITLE_RE",
+    "MOJIBAKE_RE",
+    "MOJIBAKE_REPAIRS",
+    "soft404_signals",
+    "mojibake_signals",
+    "demojibake",
+]
+
+# Error phrases that mark a title/h1 as an error template. Kept to
+# unambiguous markers — a news headline containing the word "error"
+# alone must not trip the gate.
+SOFT404_TITLE_RE = (
+    r"(?i)(404|page not found|not found|page (?:unavailable|"
+    r"does not exist)|no longer available)"
+)
+
+# Signature sequences of UTF-8 read as Latin-1/cp1252: 'Ã' followed by
+# a Latin-1 letter covers the é/è/ñ/ö family; 'â€' prefixes the curly
+# quote/dash family; 'Â' before nbsp/guillemets.
+MOJIBAKE_RE = "(Ã[©¨±¶¼]|â€[™œ“”]|Â[»« ])"
+
+# repair order matters: longer/3-codepoint sequences first so the
+# 2-codepoint rules can't bite their prefixes.
+MOJIBAKE_REPAIRS = (
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€", "”"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã±", "ñ"),
+    ("Ã¶", "ö"),
+    ("Ã¼", "ü"),
+    ("Â»", "»"),
+    ("Â«", "«"),
+)
+
+
+def soft404_signals(
+    pages: DataFrame,
+    html_col: str = "html_str",
+    text_col: str = "text",
+    min_text_chars: int = 120,
+    min_ratio: float = 0.05,
+) -> DataFrame:
+    """Append soft-404 signal columns to `pages`:
+
+    - ``title`` — first <h1>/<title> payload in the html
+    - ``err_title`` — title matches `SOFT404_TITLE_RE`
+    - ``text_chars`` / ``html_chars`` — lengths
+    - ``text_ratio`` — text_chars / html_chars (rounded, 4 places)
+    - ``is_soft404`` — err_title, OR a page whose extracted text is
+      both absolutely tiny (< `min_text_chars`) and a sliver of the
+      html (< `min_ratio`): error templates are chrome-heavy.
+
+    Per-row expressions only; attach before extraction so error
+    bodies never reach the corpus (and their links never reach the
+    frontier — a soft-404 page's links are template links).
+    """
+    title = F.coalesce(
+        F.nullif(
+            F.regexp_extract(html_col, r"<h1[^>]*>([^<]*)</h1>", 1),
+            F.lit(""),
+        ),
+        F.regexp_extract(html_col, r"<title[^>]*>([^<]*)</title>", 1),
+    )
+    out = pages.withColumn("title", title)
+    err_title = F.col("title").rlike(SOFT404_TITLE_RE)
+    text_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    html_chars = F.length(F.coalesce(F.col(html_col), F.lit("")))
+    ratio = text_chars / F.greatest(html_chars, F.lit(1))
+    return (
+        out.withColumn("err_title", err_title)
+        .withColumn("text_chars", text_chars)
+        .withColumn("html_chars", html_chars)
+        .withColumn("text_ratio", F.round(ratio, 4))
+        .withColumn(
+            "is_soft404",
+            err_title
+            | (
+                (text_chars < F.lit(min_text_chars))
+                & (ratio < F.lit(min_ratio))
+            ),
+        )
+    )
+
+
+def mojibake_signals(
+    df: DataFrame, text_col: str = "text", min_hits: int = 3
+) -> DataFrame:
+    """Append ``n_mojibake`` (signature-sequence count) and
+    ``is_mojibake`` (count >= `min_hits` — a threshold, because a
+    single hit can be a legitimate Latin-1 quotation of broken text,
+    while systematic damage repeats on every apostrophe)."""
+    n = F.regexp_count(text_col, F.lit(MOJIBAKE_RE))
+    return df.withColumn("n_mojibake", n.cast("long")).withColumn(
+        "is_mojibake", n >= F.lit(min_hits)
+    )
+
+
+def demojibake(col: Column | str) -> Column:
+    """Invert the common UTF-8-as-Latin-1 sequences via a fixed
+    replace chain (`MOJIBAKE_REPAIRS` order). Lossless on undamaged
+    text: every source sequence contains a codepoint (Ã/â/Â + marker)
+    that real prose doesn't produce adjacently."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_REPAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c

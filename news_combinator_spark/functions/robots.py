@@ -15,10 +15,11 @@ Semantics (the subset `apply_robots` can enforce):
   (case-insensitive; `*` is just an agent name here).
 - `Disallow:` with a non-empty prefix emits a rule; empty Disallow
   (allow-all) is dropped.
-- comments (`#...`), blank lines, and `Allow:` lines are ignored —
-  Allow-overrides are an ACCEPTED DEVIATION (the frontier's gate is
-  prefix-disallow only; an Allow that shadows a broader Disallow is
-  treated as still disallowed, i.e. the gate errs conservative).
+- comments (`#...`) and blank lines are ignored. `Allow:` lines are
+  ignored by `rules_from_robots_txt` (conservative prefix-disallow
+  gate: an Allow shadowing a broader Disallow stays disallowed); for
+  full RFC 9309 longest-match semantics use `allow_disallow_rules`
+  with `frontier.apply_robots_longest_match`.
 
 Scale design: everything is split/regexp/window expressions — no
 Python. The only window partitions by host, and a robots body is
@@ -33,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "rules_from_robots_txt",
+    "allow_disallow_rules",
     "crawl_delays_from_robots_txt",
     "budgets_from_delays",
     "sitemaps_from_robots_txt",
@@ -125,6 +127,38 @@ def rules_from_robots_txt(
             "disallow_prefix",
             F.concat(F.lit("http://"), F.col("host"), F.col("path_prefix")),
         )
+    )
+
+
+def allow_disallow_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> BOTH rule kinds for `agent`:
+    (host, path_prefix, allow boolean), distinct.
+
+    This is the input for RFC 9309 longest-match evaluation
+    (`frontier.apply_robots_longest_match`): an Allow whose prefix is
+    longer than the blocking Disallow re-opens the subtree (e.g.
+    ``Disallow: /a/`` + ``Allow: /a/img/``), which the simpler
+    `rules_from_robots_txt` gate deliberately treats as still
+    disallowed. Empty-value lines are dropped for both kinds — an
+    empty Disallow means allow-all and an empty Allow is a no-op, so
+    neither produces a rule."""
+    g = _agent_group_lines(robots, agent, host_col, txt_col)
+    return (
+        g.filter(
+            F.col("directive").isin("allow", "disallow")
+            & (F.length("value") > 0)
+        )
+        .select(
+            "host",
+            F.col("value").alias("path_prefix"),
+            (F.col("directive") == "allow").alias("allow"),
+        )
+        .distinct()
     )
 
 

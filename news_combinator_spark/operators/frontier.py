@@ -136,6 +136,123 @@ def schedule_per_host(
     )
 
 
+def adaptive_budgets(
+    fetch_log: DataFrame,
+    round_seconds: float,
+    default_budget: int,
+    min_budget: int = 1,
+    max_budget: int = 64,
+    alpha: float = 2.0,
+    quantile: float = 0.95,
+    exact: bool = True,
+    hosts: DataFrame | None = None,
+) -> DataFrame:
+    """Adaptive politeness from OBSERVED fetch latency: per host,
+    delay = alpha * p{quantile}(latency_ms), budget = clamp(
+    floor(round_seconds*1000 / delay), min_budget, max_budget).
+
+    This is the feedback loop the static `budgets_from_delays` (robots
+    Crawl-delay) lacks: a host whose tail latency grows gets fetched
+    less next round, a fast host more — the standard slow-down signal
+    real crawlers honor (the reference has no equivalent; its fetch
+    loop is sequential per source, `crawler.php`'s curl loop, so
+    politeness is implicit). Compose with robots delays by taking the
+    politer (smaller) budget: ``adaptive.join(static, 'host')`` +
+    ``least(...)``.
+
+    Output (host, budget) feeds `schedule_per_host` directly. Hosts
+    in `hosts` with no observations get `default_budget`.
+
+    Scale shape: one groupBy(host) — the only shuffle, keyed on the
+    same column the scheduler partitions by. `exact=True` computes an
+    exact interpolated percentile (ObjectHashAggregate, fine for
+    per-round logs and required for the DuckDB hash oracle);
+    `exact=False` switches to `approx_percentile` (partial-agg,
+    map-side combined) for 10^10-row cumulative logs.
+    """
+    lat = F.col("latency_ms").cast("double")
+    p = (
+        F.percentile(lat, F.lit(float(quantile)))
+        if exact
+        else F.approx_percentile(lat, F.lit(float(quantile)), F.lit(10000))
+    )
+    per_host = fetch_log.groupBy("host").agg(p.alias("p_ms"))
+    budget = F.least(
+        F.greatest(
+            F.floor(
+                F.lit(round_seconds * 1000.0)
+                / (F.lit(float(alpha)) * F.col("p_ms"))
+            ),
+            F.lit(min_budget),
+        ),
+        F.lit(max_budget),
+    ).cast("int")
+    budgets = per_host.select("host", budget.alias("budget"))
+    if hosts is None:
+        return budgets
+    return (
+        hosts.select("host")
+        .distinct()
+        .join(budgets, "host", "left")
+        .select(
+            "host",
+            F.coalesce("budget", F.lit(default_budget)).alias("budget"),
+        )
+    )
+
+
+def apply_robots_longest_match(
+    candidates: DataFrame, rules: DataFrame | None
+) -> DataFrame:
+    """RFC 9309 robots evaluation: among a host's rules matching the
+    candidate's path, the LONGEST path_prefix governs; on a length
+    tie Allow wins; no matching rule means allowed.
+
+    This upgrades `apply_robots`' conservative prefix-disallow gate
+    (which ignores Allow lines) to the full standard: ``Disallow: /a/``
+    plus ``Allow: /a/img/`` blocks /a/x but re-opens /a/img/y. Rules
+    come from `functions/robots.allow_disallow_rules` —
+    (host, path_prefix, allow).
+
+    Scale shape: rules broadcast (KB per host by protocol
+    convention); the governing rule per candidate is one map-side-
+    combined groupBy(url) max_by over (prefix length, allow) — rule
+    matches per URL are bounded by the host's rule count, and no
+    window or data-sized single-partition stage appears.
+    """
+    if rules is None:
+        return candidates
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("r_host"), "path_prefix", "allow"
+        )
+    )
+    path = F.regexp_replace(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    cand = candidates.withColumn("_path", path)
+    matched = cand.join(
+        r,
+        (F.col("host") == F.col("r_host"))
+        & F.col("_path").startswith(F.col("path_prefix")),
+        "inner",
+    )
+    # governing rule: longest prefix, Allow breaking length ties
+    governing = matched.groupBy("url").agg(
+        F.max_by(
+            F.col("allow"),
+            F.struct(
+                F.length("path_prefix").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+            ),
+        ).alias("_allow")
+    )
+    out = cand.join(governing, "url", "left")
+    return out.filter(
+        F.col("_allow").isNull() | F.col("_allow")
+    ).drop("_allow", "_path")
+
+
 def schedule_with_global_cap(
     frontier: DataFrame,
     budgets: DataFrame,

@@ -3168,6 +3168,251 @@ SQL_URL_TEMPLATES = (
 )
 
 
+def q_robots_longest_match(spark, sf_dir):
+    """RFC 9309 robots evaluation (frontier.apply_robots_longest_match
+    over functions/robots.allow_disallow_rules): each host disallows
+    one day directory but re-allows a longer id prefix inside it
+    ('Disallow: /a/<d>/' + 'Allow: /a/<d>/0000001'), so docs 100-199
+    of the blocked day survive by longest-match while their siblings
+    drop and other days are untouched — the Allow-override case the
+    conservative prefix gate treats as still blocked. Rules parse
+    from RAW bodies; the oracle replays parse, longest-match, and
+    tie-break in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    d0 = (F.lit(20240101) + hn % 3).cast("string")
+    robots = pages.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /a/"), d0, F.lit("/\n"),
+            F.lit("Allow: /a/"), d0, F.lit("/0000001\n"),
+        ).alias("robots_txt"),
+    )
+    rules = rb.allow_disallow_rules(robots)
+    cand = pages.select("url", "host", "priority")
+    return fr.apply_robots_longest_match(cand, rules)
+
+
+SQL_ROBOTS_LONGEST_MATCH = (
+    _pages_cte()
+    + r"""
+    , hostd AS (
+        SELECT DISTINCT host,
+               CAST(20240101
+                    + CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) % 3
+                    AS VARCHAR) AS d0
+        FROM pages
+    )
+    , rules AS (
+        SELECT host, '/a/' || d0 || '/' AS pfx, false AS allow FROM hostd
+        UNION ALL
+        SELECT host, '/a/' || d0 || '/0000001', true FROM hostd
+    )
+    , cand AS (
+        SELECT url, host, priority,
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')
+                   AS path
+        FROM pages
+    )
+    , matched AS (
+        SELECT c.url, r.allow, length(r.pfx) AS l
+        FROM cand c JOIN rules r
+          ON c.host = r.host AND starts_with(c.path, r.pfx)
+    )
+    , gov AS (
+        SELECT url, allow FROM matched
+        QUALIFY row_number() OVER (
+            PARTITION BY url ORDER BY l DESC, allow DESC
+        ) = 1
+    )
+    SELECT c.url, c.host, c.priority
+    FROM cand c LEFT JOIN gov g ON c.url = g.url
+    WHERE g.allow IS NULL OR g.allow
+"""
+)
+
+
+_SOFT404_HTML = (
+    "<html><head><title>404 Not Found</title></head><body>"
+    '<h1 id="h1title">404 Not Found</h1>'
+    "<p>The page you requested does not exist.</p></body></html>"
+)
+_SOFT404_TEXT = "The page you requested does not exist."
+
+
+def q_soft404_filter(spark, sf_dir):
+    """Soft-404 detection (functions/pagehealth.soft404_signals): the
+    fixture turns doc_id%7==0 pages into full error templates (error
+    h1 + tiny body -> title path), truncates doc_id%7==3 texts to 10
+    chars under the original big html (ratio path: tiny text, tiny
+    text/html ratio, normal title), and leaves the rest healthy. The
+    oracle replays title extraction, both signals, and the OR gate in
+    SQL. The reference keeps soft-404 bodies (crawler.php stores
+    whatever curl returned); this is the admission gate it lacks."""
+    from ..functions import pagehealth as ph
+
+    pages = pages_from_documents(spark, sf_dir)
+    is_err = F.col("doc_id") % 7 == 0
+    is_stub = F.col("doc_id") % 7 == 3
+    fx = pages.select(
+        "doc_id",
+        F.when(is_err, F.lit(_SOFT404_HTML))
+        .otherwise(F.col("html_str"))
+        .alias("html_str"),
+        F.when(is_err, F.lit(_SOFT404_TEXT))
+        .when(is_stub, F.substring("text", 1, 10))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = ph.soft404_signals(fx)
+    return out.select(
+        "doc_id", "title", "err_title", "text_chars", "text_ratio",
+        "is_soft404",
+    )
+
+
+SQL_SOFT404_FILTER = (
+    _pages_cte()
+    + f"""
+    , fx AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '{_SOFT404_HTML}'
+                    ELSE html_str END AS html_str,
+               CASE WHEN doc_id % 7 = 0 THEN '{_SOFT404_TEXT}'
+                    WHEN doc_id % 7 = 3 THEN substr(text, 1, 10)
+                    ELSE text END AS text
+        FROM pages
+    )
+    , t AS (
+        SELECT doc_id, text,
+               coalesce(
+                   nullif(regexp_extract(html_str,
+                       '<h1[^>]*>([^<]*)</h1>', 1), ''),
+                   regexp_extract(html_str,
+                       '<title[^>]*>([^<]*)</title>', 1)) AS title,
+               length(coalesce(text, '')) AS text_chars,
+               length(coalesce(html_str, '')) AS html_chars
+        FROM fx
+    )
+    , s AS (
+        SELECT doc_id, title,
+               regexp_matches(title,
+                   '(?i)(404|page not found|not found|page (?:unavailable|does not exist)|no longer available)')
+                   AS err_title,
+               text_chars,
+               text_chars / CAST(greatest(html_chars, 1) AS DOUBLE) AS ratio
+        FROM t
+    )
+    SELECT doc_id, title, err_title, text_chars,
+           round(ratio, 4) AS text_ratio,
+           (err_title OR (text_chars < 120 AND ratio < 0.05))
+               AS is_soft404
+    FROM s
+"""
+)
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake detection + repair (functions/pagehealth): doc_id%11==0
+    docs are damaged by encoding every 'e' as the UTF-8-read-as-Latin-1
+    sequence 'Ã©' (the intended text has 'é'); detection counts
+    signature sequences, repair inverts them. repaired_fp is md5 of
+    the repaired text — equal to md5 of the intended text for damaged
+    docs and of the original for healthy ones, which the oracle
+    recomputes independently, so the hash gate proves the repair
+    chain is exact, not just that the flag fires."""
+    from ..functions import pagehealth as ph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    damaged = F.col("doc_id") % 11 == 0
+    fx = docs.select(
+        "doc_id",
+        F.when(damaged, F.replace("text", F.lit("e"), F.lit("Ã©")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = ph.mojibake_signals(fx)
+    return out.select(
+        "doc_id",
+        "n_mojibake",
+        "is_mojibake",
+        F.md5(ph.demojibake("text")).alias("repaired_fp"),
+    )
+
+
+SQL_MOJIBAKE_REPAIR = """
+    WITH fx AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN replace(text, 'e', 'Ã©')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '(Ã[©¨±¶¼]|â€[™œ“”]|Â[»« ])')) AS BIGINT) AS n_mojibake,
+           len(regexp_extract_all(text,
+               '(Ã[©¨±¶¼]|â€[™œ“”]|Â[»« ])')) >= 3 AS is_mojibake,
+           md5(replace(replace(replace(replace(replace(replace(replace(
+               replace(replace(replace(text,
+               'â€™', '’'), 'â€œ', '“'), 'â€', '”'), 'Ã©', 'é'),
+               'Ã¨', 'è'), 'Ã±', 'ñ'), 'Ã¶', 'ö'), 'Ã¼', 'ü'),
+               'Â»', '»'), 'Â«', '«')) AS repaired_fp
+    FROM fx
+"""
+
+
+def q_adaptive_budgets(spark, sf_dir):
+    """Latency-adaptive politeness (frontier.adaptive_budgets): a
+    deterministic per-fetch latency log (100 + doc_id%13*40 +
+    doc_id%7*13 ms) with host h2.test unobserved (doc_id%4==2 rows
+    dropped) -> per-host p95, delay = 2*p95, budget =
+    clamp(floor(60s/delay), 1, 64); h2.test falls back to the
+    default. The oracle replays the exact interpolated percentile
+    (quantile_cont) and the clamp in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    log = pages.filter(F.col("doc_id") % 4 != 2).select(
+        "host",
+        (
+            F.lit(100)
+            + (F.col("doc_id") % 13) * 40
+            + (F.col("doc_id") % 7) * 13
+        ).cast("double").alias("latency_ms"),
+    )
+    hosts = pages.select("host")
+    return fr.adaptive_budgets(
+        log, round_seconds=60.0, default_budget=3, hosts=hosts
+    ).orderBy("host")
+
+
+SQL_ADAPTIVE_BUDGETS = (
+    _pages_cte()
+    + """
+    , log AS (
+        SELECT host,
+               CAST(100 + (doc_id % 13) * 40 + (doc_id % 7) * 13
+                    AS DOUBLE) AS latency_ms
+        FROM pages WHERE doc_id % 4 <> 2
+    )
+    , p AS (
+        SELECT host, quantile_cont(latency_ms, 0.95) AS p_ms
+        FROM log GROUP BY host
+    )
+    , b AS (
+        SELECT host,
+               CAST(least(greatest(
+                   floor(60000.0 / (2.0 * p_ms)), 1), 64) AS INT)
+                   AS budget
+        FROM p
+    )
+    SELECT h.host, coalesce(b.budget, 3) AS budget
+    FROM (SELECT DISTINCT host FROM pages) h
+    LEFT JOIN b ON h.host = b.host
+    ORDER BY h.host
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3250,6 +3495,10 @@ QUERIES = {
     "priority_boosts": (q_priority_boosts, SQL_PRIORITY_BOOSTS),
     "global_cap": (q_global_cap, SQL_GLOBAL_CAP),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
+    "robots_longest_match": (q_robots_longest_match, SQL_ROBOTS_LONGEST_MATCH),
+    "soft404_filter": (q_soft404_filter, SQL_SOFT404_FILTER),
+    "mojibake_repair": (q_mojibake_repair, SQL_MOJIBAKE_REPAIR),
+    "adaptive_budgets": (q_adaptive_budgets, SQL_ADAPTIVE_BUDGETS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -234,6 +234,7 @@ _LAZY_QUERIES = [
     "warc_records", "recrawl_priority", "robots_sitemaps",
     "conditional_fetch", "boilerplate_removal", "gopher_rules",
     "priority_boosts", "global_cap", "url_templates",
+    "robots_longest_match",
 ]
 
 

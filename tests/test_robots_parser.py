@@ -181,3 +181,69 @@ def test_sitemap_directives_are_group_independent(spark):
         r.sitemap_url for r in sitemaps_from_robots_txt(robots).collect()
     )
     assert got == ["http://h.test/sm-bot.xml", "http://h.test/sm-star.xml"]
+
+
+def test_longest_match_allow_reopens_subtree(spark):
+    """RFC 9309 longest-match: Allow: /a/img/ re-opens a subtree of
+    Disallow: /a/; a same-length Allow/Disallow pair ties to Allow;
+    a URL matching no rule is allowed; a longer Disallow under an
+    Allow closes it again (most-specific rule governs, any depth)."""
+    from news_combinator_spark.functions.robots import (
+        allow_disallow_rules,
+    )
+    from news_combinator_spark.operators.frontier import (
+        apply_robots_longest_match,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "Allow: /a/img/\n"
+        "Disallow: /a/img/raw/\n"
+        "Allow: /tie\n"
+        "Disallow: /tie\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.test", txt)], "host string, robots_txt string"
+    )
+    rules = allow_disallow_rules(robots)
+    cand = spark.createDataFrame(
+        [
+            ("http://h.test/a/x", "h.test", 0),          # blocked
+            ("http://h.test/a/img/y", "h.test", 0),      # re-opened
+            ("http://h.test/a/img/raw/z", "h.test", 0),  # re-closed
+            ("http://h.test/tie/q", "h.test", 0),        # tie -> allow
+            ("http://h.test/open", "h.test", 0),         # no rule
+            ("http://other.test/a/x", "other.test", 0),  # other host
+        ],
+        "url string, host string, priority int",
+    )
+    kept = set(apply_robots_longest_match(cand, rules).toPandas().url)
+    assert kept == {
+        "http://h.test/a/img/y",
+        "http://h.test/tie/q",
+        "http://h.test/open",
+        "http://other.test/a/x",
+    }
+
+
+def test_allow_disallow_rules_drop_empty_values(spark):
+    """Empty Disallow (allow-all) and empty Allow (no-op) produce no
+    rules; both kinds parse from the matched agent group only."""
+    from news_combinator_spark.functions.robots import (
+        allow_disallow_rules,
+    )
+
+    txt = (
+        "User-agent: otherbot\nDisallow: /not-ours\n\n"
+        "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+        "Disallow:\nAllow:\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.test", txt)], "host string, robots_txt string"
+    )
+    got = {
+        (r.path_prefix, r.allow)
+        for r in allow_disallow_rules(robots).collect()
+    }
+    assert got == {("/a", False), ("/a/b", True)}
