@@ -111,6 +111,9 @@ SQL_BENCH_QUERIES = [
     "global_cap",
     "url_templates",
     "robots_longest_match",
+    "soft404_filter",
+    "mojibake_repair",
+    "adaptive_budgets",
 ]
 
 

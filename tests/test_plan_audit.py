@@ -234,7 +234,8 @@ _LAZY_QUERIES = [
     "warc_records", "recrawl_priority", "robots_sitemaps",
     "conditional_fetch", "boilerplate_removal", "gopher_rules",
     "priority_boosts", "global_cap", "url_templates",
-    "robots_longest_match",
+    "robots_longest_match", "soft404_filter", "mojibake_repair",
+    "adaptive_budgets",
 ]
 
 
