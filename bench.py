@@ -114,6 +114,9 @@ SQL_BENCH_QUERIES = [
     "soft404_filter",
     "mojibake_repair",
     "adaptive_budgets",
+    "canonical_consolidate",
+    "registered_domains",
+    "normalize_text",
 ]
 
 

@@ -31,9 +31,12 @@ __all__ = [
     "SOFT404_TITLE_RE",
     "MOJIBAKE_RE",
     "MOJIBAKE_REPAIRS",
+    "FULLWIDTH_CHARS",
+    "HALFWIDTH_CHARS",
     "soft404_signals",
     "mojibake_signals",
     "demojibake",
+    "normalize_text",
 ]
 
 # Error phrases that mark a title/h1 as an error template. Kept to
@@ -125,6 +128,37 @@ def mojibake_signals(
     return df.withColumn("n_mojibake", n.cast("long")).withColumn(
         "is_mojibake", n >= F.lit(min_hits)
     )
+
+
+# Fullwidth ASCII block U+FF01..U+FF5E maps 1:1 onto U+0021..U+007E;
+# the ideographic space U+3000 maps to a plain space. This is the
+# width-folding slice of NFKC — the part that matters for mixed
+# CJK/Latin web text (the reference's actual domain: a fullwidth
+# '１２３' in a Chinese page must tokenize like '123').
+FULLWIDTH_CHARS = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
+HALFWIDTH_CHARS = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Deterministic web-text normalization, all JVM expressions:
+
+    1. fold fullwidth ASCII + ideographic space to halfwidth
+       (`translate`, one pass)
+    2. strip C0/DEL control characters (keeping \\t \\n \\r, which
+       step 3 then folds as whitespace)
+    3. collapse whitespace runs to single spaces and trim
+
+    Order matters: width-folding first so a fullwidth space joins the
+    whitespace collapse. This is the NFKC-width + control-strip +
+    ws-normalize prefix of a training-data cleaner; full NFKC
+    (ligatures, compatibility ideographs) needs ICU and is out of
+    scope by design."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(c, FULLWIDTH_CHARS, HALFWIDTH_CHARS)
+    stripped = F.regexp_replace(folded, _CONTROL_RE, "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
 def demojibake(col: Column | str) -> Column:

@@ -94,6 +94,80 @@ def with_url_identity(df, url_col: str = "url"):
     )
 
 
+def canonical_href(html_col) -> F.Column:
+    """First ``<link rel="canonical" href="...">`` target in the html,
+    or NULL. Handles both attribute orders (rel-then-href and
+    href-then-rel) with two anchored regexes — per-row JVM
+    expressions, no parser."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    rel_first = F.regexp_extract(
+        c, r'<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1
+    )
+    href_first = F.regexp_extract(
+        c, r'<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1
+    )
+    return F.nullif(F.coalesce(F.nullif(rel_first, F.lit("")),
+                               F.nullif(href_first, F.lit(""))), F.lit(""))
+
+
+# A deliberately small built-in public-suffix set: the multi-label
+# suffixes a crawl actually needs to split correctly plus the common
+# gTLDs. A production deployment swaps in the full Mozilla PSL — the
+# operator takes any (suffix) frame; only the DATA is stubbed, the
+# longest-match machinery is the real thing.
+DEFAULT_PUBLIC_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "io", "dev", "test",
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "com.cn",
+    "com.br", "co.jp", "or.jp", "co.kr",
+)
+
+
+def registered_domain(
+    df, host_col: str = "host", suffixes=DEFAULT_PUBLIC_SUFFIXES
+):
+    """Append ``public_suffix`` and ``registered_domain`` (eTLD+1):
+    the LONGEST suffix from `suffixes` that terminates the host on a
+    label boundary wins ('a.b.co.uk' -> co.uk, not uk); the
+    registered domain is the label before it plus the suffix. Hosts
+    matching no suffix fall back to their last two labels (the PSL
+    wildcard-* convention), so the column is never NULL.
+
+    Scale shape: the suffix table broadcasts (the full PSL is ~9k
+    rows); the longest match is a map-side-combined groupBy over at
+    most len(suffixes) matches per distinct host — no window, and
+    the join key stays the caller's host column.
+    """
+    spark = df.sparkSession
+    sfx = F.broadcast(
+        spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+    )
+    h = F.col(host_col)
+    matched = df.join(
+        sfx,
+        (h == F.col("suffix"))
+        | h.endswith(F.concat(F.lit("."), F.col("suffix"))),
+        "left",
+    )
+    best = matched.groupBy(*df.columns).agg(
+        F.max_by("suffix", F.length("suffix")).alias("public_suffix")
+    )
+    # label immediately before the suffix (empty when host == suffix):
+    # strip '.<suffix>' off the end, keep the last remaining label
+    prefix = h.substr(
+        F.lit(1), F.length(h) - F.length("public_suffix") - F.lit(1)
+    )
+    owner = F.regexp_extract(prefix, r"([^.]+)$", 1)
+    fallback = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return best.withColumn(
+        "registered_domain",
+        F.when(
+            F.col("public_suffix").isNull() | (owner == ""), fallback
+        ).otherwise(
+            F.concat(owner, F.lit("."), F.col("public_suffix"))
+        ),
+    )
+
+
 def match_source(url: str) -> tuple[str, str, str] | None:
     """(source, yyyymmdd, news_id) per the reference grammar, else None.
 

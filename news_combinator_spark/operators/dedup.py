@@ -565,3 +565,41 @@ def remove_boilerplate(
         "n_lines",
         (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
     )
+
+
+def canonical_consolidate(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_str",
+) -> DataFrame:
+    """Collapse pages that declare the same ``rel=canonical`` target
+    into one row per canonical URL (the CC-pipeline counterpart of
+    exact URL dedup: mirrors/print-views/tracking variants all point
+    at one canonical, so they are duplicates BEFORE any text
+    comparison).
+
+    Per canonical group, the kept row is the canonical page itself
+    when present, else the lexicographically smallest member URL
+    (deterministic). Returns (canonical_url, kept_url, n_variants).
+
+    Scale shape: the canonical target is a per-row JVM regex
+    (functions/urls.canonical_href); consolidation is ONE map-side-
+    combined groupBy on canonical_url — same shuffle key downstream
+    exact dedup would use, no window, no self-join.
+    """
+    from ..functions.urls import canonical_href
+
+    eff = F.coalesce(canonical_href(html_col), F.col(url_col))
+    tagged = pages.select(
+        F.col(url_col).alias("url"), eff.alias("canonical_url")
+    )
+    # composite min-key: canonical page sorts before all variants
+    key = F.concat(
+        F.when(F.col("url") == F.col("canonical_url"), F.lit("0"))
+        .otherwise(F.lit("1")),
+        F.col("url"),
+    )
+    return tagged.groupBy("canonical_url").agg(
+        F.min_by("url", key).alias("kept_url"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )

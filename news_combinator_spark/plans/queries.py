@@ -3413,6 +3413,217 @@ SQL_ADAPTIVE_BUDGETS = (
 )
 
 
+def q_canonical_consolidate(spark, sf_dir):
+    """rel=canonical consolidation (dedup.canonical_consolidate over
+    urls.canonical_href): docs with doc_id%5 in (1,2) declare the
+    group base (doc_id - doc_id%5) as canonical — %5==1 in
+    rel-then-href attribute order, %5==2 href-then-rel — so each base
+    absorbs up to two variants and keeps its own URL (self before
+    lexicographic min); %5 in (0,3,4) pages stay singletons. The
+    oracle replays injection, extraction (both orders), and the
+    keep rule in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    b = F.col("doc_id") - F.col("doc_id") % 5
+    base_url = F.concat(
+        F.lit("http://h"), (b % 4).cast("string"), F.lit(".test/a/"),
+        (F.lit(20240101) + b % 14).cast("string"), F.lit("/"),
+        F.lpad(b.cast("string"), 9, "0"), F.lit(".htm"),
+    )
+    rel_first = F.concat(
+        F.lit('<link rel="canonical" href="'), base_url, F.lit('"/></head>')
+    )
+    href_first = F.concat(
+        F.lit('<link href="'), base_url, F.lit('" rel="canonical"/></head>')
+    )
+    fx = pages.select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.replace("html_str", F.lit("</head>"), rel_first),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.replace("html_str", F.lit("</head>"), href_first),
+        )
+        .otherwise(F.col("html_str"))
+        .alias("html_str"),
+    )
+    return dd.canonical_consolidate(fx)
+
+
+SQL_CANONICAL_CONSOLIDATE = (
+    _pages_cte()
+    + """
+    , fx AS (
+        SELECT url,
+               'http://h' || CAST((doc_id - doc_id % 5) % 4 AS VARCHAR)
+               || '.test/a/'
+               || CAST(20240101 + (doc_id - doc_id % 5) % 14 AS VARCHAR)
+               || '/' || lpad(CAST(doc_id - doc_id % 5 AS VARCHAR), 9, '0')
+               || '.htm' AS base_url,
+               doc_id % 5 AS m, html_str
+        FROM pages
+    )
+    , inj AS (
+        SELECT url,
+               CASE WHEN m = 1 THEN replace(html_str, '</head>',
+                        '<link rel="canonical" href="' || base_url
+                        || '"/></head>')
+                    WHEN m = 2 THEN replace(html_str, '</head>',
+                        '<link href="' || base_url
+                        || '" rel="canonical"/></head>')
+                    ELSE html_str END AS html_str
+        FROM fx
+    )
+    , tagged AS (
+        SELECT url,
+               coalesce(
+                   nullif(coalesce(
+                       nullif(regexp_extract(html_str,
+                           '<link[^>]*rel="canonical"[^>]*href="([^"]*)"',
+                           1), ''),
+                       nullif(regexp_extract(html_str,
+                           '<link[^>]*href="([^"]*)"[^>]*rel="canonical"',
+                           1), '')), ''),
+                   url) AS canonical_url
+        FROM inj
+    )
+    SELECT canonical_url,
+           min(CASE WHEN url = canonical_url THEN '0' ELSE '1' END
+               || url)[2:] AS kept_url,
+           count(*) AS n_variants
+    FROM tagged
+    GROUP BY canonical_url
+"""
+)
+
+
+def q_registered_domains(spark, sf_dir):
+    """eTLD+1 extraction (urls.registered_domain): hosts cycle through
+    multi-label public suffixes (co.uk beats uk-style shadowing),
+    plain gTLDs, unknown TLDs (PSL-wildcard fallback to the last two
+    labels), and a bare-suffix host ('co.uk' itself -> fallback). The
+    oracle replays broadcast longest-suffix match, owner-label strip,
+    and both fallbacks in SQL."""
+    from ..functions.urls import registered_domain
+
+    hostlist = [
+        "news.example.com", "example.com", "sub.news.example.co.uk",
+        "example.co.uk", "static.cdn.example.net", "example.internal",
+        "deep.example.internal", "co.uk",
+    ]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(h) for h in hostlist]),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        ).alias("host"),
+    )
+    return registered_domain(docs)
+
+
+SQL_REGISTERED_DOMAINS = """
+    WITH hosts AS (
+        SELECT doc_id,
+               (['news.example.com', 'example.com',
+                 'sub.news.example.co.uk', 'example.co.uk',
+                 'static.cdn.example.net', 'example.internal',
+                 'deep.example.internal', 'co.uk'])
+                   [CAST(doc_id % 8 + 1 AS INT)] AS host
+        FROM documents
+    )
+    , sfx AS (
+        SELECT unnest(['com', 'org', 'net', 'edu', 'gov', 'io', 'dev',
+                       'test', 'co.uk', 'org.uk', 'ac.uk', 'com.au',
+                       'net.au', 'com.cn', 'com.br', 'co.jp', 'or.jp',
+                       'co.kr']) AS suffix
+    )
+    , best AS (
+        SELECT h.doc_id, h.host,
+               arg_max(s.suffix, length(s.suffix)) AS public_suffix
+        FROM hosts h LEFT JOIN sfx s
+          ON h.host = s.suffix OR ends_with(h.host, '.' || s.suffix)
+        GROUP BY h.doc_id, h.host
+    )
+    SELECT doc_id, host, public_suffix,
+           CASE WHEN public_suffix IS NULL OR owner = ''
+                THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                ELSE owner || '.' || public_suffix END
+               AS registered_domain
+    FROM (
+        SELECT *,
+               regexp_extract(
+                   substr(host, 1,
+                          length(host) - length(public_suffix) - 1),
+                   '([^.]+)$', 1) AS owner
+        FROM best
+    )
+"""
+
+
+def q_normalize_text(spark, sf_dir):
+    """Width-fold + control-strip + whitespace-collapse normalization
+    (pagehealth.normalize_text): doc_id%6==0 docs get a fullwidth
+    ASCII/ideographic-space prefix, an embedded BEL control, and
+    doubled spaces; the rest pass through (single-space ASCII text is
+    a fixed point). The oracle replays translate + both regexes and
+    md5s the result, so the hash gate proves byte-identical
+    normalization, not just that lengths shrink."""
+    from ..functions import pagehealth as ph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = F.concat(
+        F.lit("Ａｂｃ！１２３　x"),
+        F.expr("char(7)"),
+        F.lit("y  "),
+        F.col("text"),
+        F.lit("  "),
+    )
+    fx = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, noisy)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = ph.normalize_text("text")
+    return fx.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_fp"),
+    )
+
+
+def _sql_normalize_text() -> str:
+    from ..functions.pagehealth import FULLWIDTH_CHARS, HALFWIDTH_CHARS
+
+    fw = FULLWIDTH_CHARS.replace("'", "''")
+    hw = HALFWIDTH_CHARS.replace("'", "''")
+    return f"""
+    WITH fx AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0
+                    THEN 'Ａｂｃ！１２３　x' || chr(7) || 'y  '
+                         || text || '  '
+                    ELSE text END AS text
+        FROM documents
+    )
+    , n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       translate(text, '{fw}', '{hw}'),
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS norm
+        FROM fx
+    )
+    SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_fp
+    FROM n
+"""
+
+
+SQL_NORMALIZE_TEXT = _sql_normalize_text()
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3499,6 +3710,10 @@ QUERIES = {
     "soft404_filter": (q_soft404_filter, SQL_SOFT404_FILTER),
     "mojibake_repair": (q_mojibake_repair, SQL_MOJIBAKE_REPAIR),
     "adaptive_budgets": (q_adaptive_budgets, SQL_ADAPTIVE_BUDGETS),
+    "canonical_consolidate": (q_canonical_consolidate,
+                              SQL_CANONICAL_CONSOLIDATE),
+    "registered_domains": (q_registered_domains, SQL_REGISTERED_DOMAINS),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -235,7 +235,8 @@ _LAZY_QUERIES = [
     "conditional_fetch", "boilerplate_removal", "gopher_rules",
     "priority_boosts", "global_cap", "url_templates",
     "robots_longest_match", "soft404_filter", "mojibake_repair",
-    "adaptive_budgets",
+    "adaptive_budgets", "canonical_consolidate", "registered_domains",
+    "normalize_text",
 ]
 
 

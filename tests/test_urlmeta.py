@@ -1,0 +1,97 @@
+"""Canonical-link consolidation, eTLD+1 extraction, normalization.
+
+Edges the driver oracles' fixtures don't reach: dangling canonical
+targets, suffix shadowing with a custom PSL, normalization
+idempotence.
+"""
+
+from pyspark.sql import functions as F
+
+from news_combinator_spark.functions.pagehealth import normalize_text
+from news_combinator_spark.functions.urls import (
+    canonical_href,
+    registered_domain,
+)
+from news_combinator_spark.operators.dedup import canonical_consolidate
+
+
+def test_canonical_href_orders_and_absence(spark):
+    df = spark.createDataFrame(
+        [
+            ('<link rel="canonical" href="http://c/1"/>',),
+            ('<link href="http://c/2" rel="canonical"/>',),
+            ('<link rel="stylesheet" href="http://c/3"/>',),
+            ("<html>no links</html>",),
+        ],
+        "html_str string",
+    )
+    got = [r.c for r in df.select(canonical_href("html_str").alias("c")).collect()]
+    assert got == ["http://c/1", "http://c/2", None, None]
+
+
+def test_canonical_consolidate_keep_rule(spark):
+    mk = lambda c: f'<html><link rel="canonical" href="{c}"/></html>'
+    rows = [
+        # group A: canonical page itself present -> kept over smaller url
+        ("http://h/a", mk("http://h/a")),
+        ("http://h/A-variant", mk("http://h/a")),
+        # group B: DANGLING canonical (target never crawled) -> lexi min
+        ("http://h/b2", mk("http://h/b")),
+        ("http://h/b1", mk("http://h/b")),
+        # singleton, no canonical declared
+        ("http://h/solo", "<html></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_str string")
+    got = {
+        r.canonical_url: (r.kept_url, r.n_variants)
+        for r in canonical_consolidate(df).collect()
+    }
+    assert got == {
+        "http://h/a": ("http://h/a", 2),
+        "http://h/b": ("http://h/b1", 2),
+        "http://h/solo": ("http://h/solo", 1),
+    }
+
+
+def test_registered_domain_longest_suffix_wins(spark):
+    df = spark.createDataFrame(
+        [("a.b.co.uk",), ("x.co.uk",), ("co.uk",), ("plain.uk",)],
+        "host string",
+    )
+    got = {
+        r.host: (r.public_suffix, r.registered_domain)
+        for r in registered_domain(df, suffixes=("uk", "co.uk")).collect()
+    }
+    # 'co.uk' beats 'uk' wherever both match on a label boundary
+    assert got["a.b.co.uk"] == ("co.uk", "b.co.uk")
+    assert got["x.co.uk"] == ("co.uk", "x.co.uk")
+    # host IS the suffix: no owner label -> last-two-labels fallback
+    assert got["co.uk"] == ("co.uk", "co.uk")
+    assert got["plain.uk"] == ("uk", "plain.uk")
+
+
+def test_registered_domain_no_false_label_match(spark):
+    """'notco.uk' must not match suffix 'co.uk' (label boundary) but
+    does match 'uk'; unknown TLDs fall back to last two labels."""
+    df = spark.createDataFrame(
+        [("notco.uk",), ("a.b.internal",)], "host string"
+    )
+    got = {
+        r.host: (r.public_suffix, r.registered_domain)
+        for r in registered_domain(df, suffixes=("uk", "co.uk")).collect()
+    }
+    assert got["notco.uk"] == ("uk", "notco.uk")
+    assert got["a.b.internal"] == (None, "b.internal")
+
+
+def test_normalize_text_idempotent_and_fixed_point(spark):
+    noisy = "Ａｂｃ！１２３　x\x07y\tz  end "
+    df = spark.createDataFrame(
+        [(noisy,), ("already clean ascii",)], "text string"
+    )
+    once = df.select(normalize_text("text").alias("t"))
+    twice = once.select(normalize_text("t").alias("t"))
+    a, b = [r.t for r in once.collect()], [r.t for r in twice.collect()]
+    assert a == b  # idempotent
+    assert a[0] == "Abc!123 xy z end"
+    assert a[1] == "already clean ascii"  # clean text is a fixed point
