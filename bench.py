@@ -117,6 +117,7 @@ SQL_BENCH_QUERIES = [
     "canonical_consolidate",
     "registered_domains",
     "normalize_text",
+    "admission_funnel",
 ]
 
 

@@ -3624,6 +3624,141 @@ def _sql_normalize_text() -> str:
 SQL_NORMALIZE_TEXT = _sql_normalize_text()
 
 
+# 32 words: passes the funnel's length gate so the duplicate class is
+# removed by the DEDUP stage, not silently by the length stage.
+_DUP_BOILER_TEXT = " ".join(f"boiler{i} mirror{i}" for i in range(16))
+
+
+def q_admission_funnel(spark, sf_dir):
+    """Crawl-to-corpus admission pipeline, end to end: fetched pages
+    -> drop soft-404s (error templates injected at doc_id%7==0) ->
+    repair mojibake (doc_id%11==0 damaged) + normalize -> length
+    gate (>= 30 words) -> metadata-language gate -> exact-text dedup
+    (distinct md5 of normalized text; a doc_id%13==4 boilerplate-copy
+    class collapses here). Returns one row of
+    per-stage survivor counts — the funnel a reference user runs
+    between crawler.php's output and a training corpus, composed
+    from the engine's real operators (pagehealth.soft404_signals /
+    demojibake / normalize_text + groupBy dedup).
+
+    Scale shape: stages 1-4 are one narrow per-row projection pass
+    (no shuffle); the dedup stage is one map-side-combined
+    groupBy(fp) count-distinct; the final counts are a single
+    aggregate. The oracle replays every stage in SQL."""
+    from ..functions import pagehealth as ph
+
+    pages = pages_from_documents(spark, sf_dir)
+    is_err = F.col("doc_id") % 7 == 0
+    is_dup = F.col("doc_id") % 13 == 4
+    damaged = F.col("doc_id") % 11 == 0
+    fx = pages.select(
+        "doc_id", "lang",
+        F.when(is_err, F.lit(_SOFT404_HTML))
+        .otherwise(F.col("html_str"))
+        .alias("html_str"),
+        F.when(is_err, F.lit(_SOFT404_TEXT))
+        .when(is_dup, F.lit(_DUP_BOILER_TEXT))
+        .when(damaged, F.replace("text", F.lit("e"), F.lit("Ã©")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    s = ph.soft404_signals(fx)
+    norm = ph.normalize_text(ph.demojibake("text"))
+    flagged = s.select(
+        "doc_id",
+        (~F.col("is_soft404")).alias("p_live"),
+        norm.alias("norm"),
+        (F.size(F.split(norm, " ")) >= 30).alias("p_len"),
+        (F.col("lang") == "en").alias("p_lang"),
+    )
+    admitted = flagged.filter("p_live AND p_len AND p_lang")
+    n_unique = admitted.select(F.md5("norm").alias("fp")).agg(
+        F.countDistinct("fp").alias("n")
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(F.col("p_live").cast("int")).alias("n_not_soft404"),
+        F.sum((F.col("p_live") & F.col("p_len")).cast("int")).alias(
+            "n_len_ok"
+        ),
+        F.sum(
+            (F.col("p_live") & F.col("p_len") & F.col("p_lang")).cast("int")
+        ).alias("n_lang_ok"),
+    )
+    return counts.crossJoin(n_unique.select(F.col("n").alias("n_unique")))
+
+
+SQL_ADMISSION_FUNNEL = (
+    _pages_cte()
+    + f"""
+    , fx AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN '{_SOFT404_HTML}'
+                    ELSE html_str END AS html_str,
+               CASE WHEN doc_id % 7 = 0 THEN '{_SOFT404_TEXT}'
+                    WHEN doc_id % 13 = 4 THEN '{_DUP_BOILER_TEXT}'
+                    WHEN doc_id % 11 = 0 THEN replace(text, 'e', 'Ã©')
+                    ELSE text END AS text
+        FROM pages
+    )
+    , t AS (
+        SELECT doc_id, lang, text,
+               coalesce(
+                   nullif(regexp_extract(html_str,
+                       '<h1[^>]*>([^<]*)</h1>', 1), ''),
+                   regexp_extract(html_str,
+                       '<title[^>]*>([^<]*)</title>', 1)) AS title,
+               length(coalesce(text, '')) AS tc,
+               length(coalesce(html_str, '')) AS hc
+        FROM fx
+    )
+    , f AS (
+        SELECT doc_id, lang,
+               NOT (regexp_matches(title,
+                   '(?i)(404|page not found|not found|page (?:unavailable|does not exist)|no longer available)')
+                   OR (tc < 120
+                       AND tc / CAST(greatest(hc, 1) AS DOUBLE) < 0.05))
+                   AS p_live,
+               trim(regexp_replace(regexp_replace(
+                   translate(
+                       replace(replace(replace(replace(replace(replace(
+                       replace(replace(replace(replace(text,
+                       'â€™', '’'), 'â€œ', '“'), 'â€', '”'), 'Ã©', 'é'),
+                       'Ã¨', 'è'), 'Ã±', 'ñ'), 'Ã¶', 'ö'), 'Ã¼', 'ü'),
+                       'Â»', '»'), 'Â«', '«'),
+                       '{{FW}}', '{{HW}}'),
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS norm
+        FROM t
+    )
+    , g AS (
+        SELECT *,
+               len(string_split(norm, ' ')) >= 30 AS p_len,
+               lang = 'en' AS p_lang
+        FROM f
+    )
+    SELECT count(*) AS n_fetched,
+           sum(CAST(p_live AS INT)) AS n_not_soft404,
+           sum(CAST(p_live AND p_len AS INT)) AS n_len_ok,
+           sum(CAST(p_live AND p_len AND p_lang AS INT)) AS n_lang_ok,
+           (SELECT count(DISTINCT md5(norm)) FROM g
+            WHERE p_live AND p_len AND p_lang) AS n_unique
+    FROM g
+"""
+)
+
+
+def _patch_funnel_sql() -> str:
+    from ..functions.pagehealth import FULLWIDTH_CHARS, HALFWIDTH_CHARS
+
+    return SQL_ADMISSION_FUNNEL.replace(
+        "{FW}", FULLWIDTH_CHARS.replace("'", "''")
+    ).replace("{HW}", HALFWIDTH_CHARS.replace("'", "''"))
+
+
+SQL_ADMISSION_FUNNEL = _patch_funnel_sql()
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3714,6 +3849,7 @@ QUERIES = {
                               SQL_CANONICAL_CONSOLIDATE),
     "registered_domains": (q_registered_domains, SQL_REGISTERED_DOMAINS),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "admission_funnel": (q_admission_funnel, SQL_ADMISSION_FUNNEL),
     "multimodal_features": (q_multimodal_features, None),
 }
 
