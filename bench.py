@@ -118,6 +118,7 @@ SQL_BENCH_QUERIES = [
     "registered_domains",
     "normalize_text",
     "admission_funnel",
+    "politeness_composition",
 ]
 
 

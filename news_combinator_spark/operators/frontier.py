@@ -350,6 +350,7 @@ def crawl(
     initial_seen: DataFrame | None = None,
     fetch_order_base: int = 0,
     web_table: str | None = None,
+    robots_mode: str = "prefix",
 ) -> CrawlResult:
     """Run `rounds` micro-rounds; return every fetched URL with its
     round and the deterministic global fetch_order.
@@ -383,12 +384,22 @@ def crawl(
       exact anti-join, so fp=1e-3 is plenty and keeps the per-round
       partition-bitset merge tens of KB instead of tens of MB. No
       false negatives are possible, so no URL is ever re-fetched.
+    - `robots_mode='rfc9309'` switches the discovered-candidate gate
+      to longest-match Allow/Disallow evaluation
+      (`apply_robots_longest_match`); `robots` must then carry
+      (host, path_prefix, allow) rows from
+      `functions/robots.allow_disallow_rules`. The default 'prefix'
+      mode is the oracle-pinned conservative gate.
     """
     if start_round >= rounds:
         raise ValueError(
             f"start_round ({start_round}) must be < rounds ({rounds}): "
             "nothing left to crawl — raise --rounds or resume an "
             "earlier checkpoint"
+        )
+    if robots_mode not in ("prefix", "rfc9309"):
+        raise ValueError(
+            f"robots_mode must be 'prefix' or 'rfc9309', got {robots_mode!r}"
         )
     # The "web" is probed by url every round. Two layouts:
     # - web_table: a catalog table bucketed by url (operators/
@@ -502,7 +513,14 @@ def crawl(
                 web_meta, "url", "inner"
             )
             n_cand = cand.count() if collect_lineage else None
-            cand = apply_robots(cand, robots)
+            # gate mode: 'prefix' = conservative disallow-only (the
+            # oracle-pinned default); 'rfc9309' = longest-match with
+            # Allow overrides — robots must then be
+            # functions/robots.allow_disallow_rules output
+            if robots_mode == "rfc9309":
+                cand = apply_robots_longest_match(cand, robots)
+            else:
+                cand = apply_robots(cand, robots)
             if collect_lineage:
                 metrics.discovered = n_cand
                 after_robots = cand.count()

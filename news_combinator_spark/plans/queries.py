@@ -3759,6 +3759,94 @@ def _patch_funnel_sql() -> str:
 SQL_ADMISSION_FUNNEL = _patch_funnel_sql()
 
 
+def q_politeness_composition(spark, sf_dir):
+    """Effective politeness = least(robots Crawl-delay budget,
+    latency-adaptive budget) per host — the composition the two
+    budget sources are designed for (both emit (host, budget) frames
+    keyed for `schedule_per_host`). Crawl-delays parse from RAW
+    robots bodies (delay 1+hn%5 s); the latency log is the
+    adaptive_budgets fixture (h2.test unobserved -> default on that
+    side). Each source wins on some host, so the least() is
+    exercised both ways. The oracle recomputes the static side
+    arithmetically (its parse is hash-pinned by crawl_delay_budgets)
+    and replays the adaptive side + least in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    hosts = pages.select("host").distinct()
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.lit(1) + hn % 5).cast("string"),
+            F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    static = rb.budgets_from_delays(
+        rb.crawl_delays_from_robots_txt(robots),
+        round_seconds=60.0,
+        default_budget=3,
+        hosts=hosts,
+    ).withColumnRenamed("budget", "static_budget")
+    log = pages.filter(F.col("doc_id") % 4 != 2).select(
+        "host",
+        (
+            F.lit(100)
+            + (F.col("doc_id") % 13) * 40
+            + (F.col("doc_id") % 7) * 13
+        ).cast("double").alias("latency_ms"),
+    )
+    adaptive = fr.adaptive_budgets(
+        log, round_seconds=60.0, default_budget=3, hosts=hosts
+    ).withColumnRenamed("budget", "adaptive_budget")
+    return static.join(adaptive, "host").select(
+        "host",
+        F.col("static_budget").cast("int").alias("static_budget"),
+        "adaptive_budget",
+        F.least("static_budget", "adaptive_budget")
+        .cast("int")
+        .alias("effective_budget"),
+    )
+
+
+SQL_POLITENESS_COMPOSITION = (
+    _pages_cte()
+    + r"""
+    , hosts AS (SELECT DISTINCT host FROM pages)
+    , static AS (
+        SELECT host,
+               CAST(greatest(1, floor(60.0 / (1 + CAST(
+                   regexp_extract(host, 'h(\d+)', 1) AS INT) % 5)))
+                   AS INT) AS static_budget
+        FROM hosts
+    )
+    , log AS (
+        SELECT host,
+               CAST(100 + (doc_id % 13) * 40 + (doc_id % 7) * 13
+                    AS DOUBLE) AS latency_ms
+        FROM pages WHERE doc_id % 4 <> 2
+    )
+    , p AS (
+        SELECT host, quantile_cont(latency_ms, 0.95) AS p_ms
+        FROM log GROUP BY host
+    )
+    , b AS (
+        SELECT host,
+               CAST(least(greatest(
+                   floor(60000.0 / (2.0 * p_ms)), 1), 64) AS INT)
+                   AS budget
+        FROM p
+    )
+    , adaptive AS (
+        SELECT h.host, coalesce(b.budget, 3) AS adaptive_budget
+        FROM hosts h LEFT JOIN b ON h.host = b.host
+    )
+    SELECT s.host, s.static_budget, a.adaptive_budget,
+           least(s.static_budget, a.adaptive_budget) AS effective_budget
+    FROM static s JOIN adaptive a ON s.host = a.host
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3850,6 +3938,8 @@ QUERIES = {
     "registered_domains": (q_registered_domains, SQL_REGISTERED_DOMAINS),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "admission_funnel": (q_admission_funnel, SQL_ADMISSION_FUNNEL),
+    "politeness_composition": (q_politeness_composition,
+                               SQL_POLITENESS_COMPOSITION),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -456,3 +456,46 @@ def test_schedule_with_global_cap_order_and_defers(spark):
     assert out == {
         "u1": True, "u2": True, "u4": True, "u5": False, "u3": False,
     }
+
+
+def test_crawl_rfc9309_mode_allow_reopens(spark):
+    """robots_mode='rfc9309': an Allow nested under a host-wide
+    Disallow re-opens exactly its subtree for DISCOVERED candidates
+    (seeds are exempt by construction in both modes), while the
+    conservative prefix mode blocks the whole host; an invalid mode
+    raises."""
+    from news_combinator_spark.operators.frontier import (
+        apply_robots_longest_match,
+    )
+
+    pages = pages_from_documents(spark, SF_SMALL)
+    seeds = seeds_df(spark, pages)
+    budgets = budgets_df(spark)
+    # h1.test: everything under /a/ disallowed, one day re-allowed
+    # (20240106 is a day the unrestricted crawl actually discovers on
+    # h1 at this sf, so the Allow has something to re-open)
+    rules = spark.createDataFrame(
+        [("h1.test", "/a/", False), ("h1.test", "/a/20240106/", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    res = crawl(
+        spark, pages, seeds, budgets, robots=rules,
+        rounds=CRAWL_ROUNDS, robots_mode="rfc9309",
+        collect_lineage=False,
+    )
+    got = res.fetched.select("url", "host", "round").toPandas()
+    h1_discovered = got[(got.host == "h1.test") & (got["round"] > 0)]
+    assert len(h1_discovered) > 0, "Allow subtree must be crawlable"
+    assert all("/a/20240106/" in u for u in h1_discovered.url)
+
+    # conservative mode with the equivalent disallow blocks all of h1
+    res_prefix = crawl(
+        spark, pages, seeds, budgets,
+        robots=rules.filter("NOT allow").select("host", "path_prefix"),
+        rounds=CRAWL_ROUNDS, collect_lineage=False,
+    )
+    gp = res_prefix.fetched.select("url", "host", "round").toPandas()
+    assert len(gp[(gp.host == "h1.test") & (gp["round"] > 0)]) == 0
+
+    with pytest.raises(ValueError, match="robots_mode"):
+        crawl(spark, pages, seeds, budgets, robots_mode="bogus")

@@ -236,7 +236,7 @@ _LAZY_QUERIES = [
     "priority_boosts", "global_cap", "url_templates",
     "robots_longest_match", "soft404_filter", "mojibake_repair",
     "adaptive_budgets", "canonical_consolidate", "registered_domains",
-    "normalize_text", "admission_funnel",
+    "normalize_text", "admission_funnel", "politeness_composition",
 ]
 
 
