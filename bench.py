@@ -119,6 +119,7 @@ SQL_BENCH_QUERIES = [
     "normalize_text",
     "admission_funnel",
     "politeness_composition",
+    "content_sniff",
 ]
 
 

@@ -37,6 +37,8 @@ __all__ = [
     "mojibake_signals",
     "demojibake",
     "normalize_text",
+    "MAGIC_PREFIXES",
+    "sniff_content_type",
 ]
 
 # Error phrases that mark a title/h1 as an error template. Kept to
@@ -128,6 +130,51 @@ def mojibake_signals(
     return df.withColumn("n_mojibake", n.cast("long")).withColumn(
         "is_mojibake", n >= F.lit(min_hits)
     )
+
+
+# (prefix_hex, type), longest/most-specific first — the match order
+# IS the spec (GIF before the generic '<' rule is irrelevant, but
+# RIFF must refine to webp/wav before falling back to 'riff').
+MAGIC_PREFIXES = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("255044462D", "application/pdf"),
+    ("FFD8FF", "image/jpeg"),
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+    ("3C", "text/html"),
+)
+
+
+def sniff_content_type(col: Column | str) -> Column:
+    """Content type from a binary column's magic bytes — the gate a
+    crawler needs because servers lie in Content-Type headers (a
+    '.htm' URL can serve a PDF; a 200 'text/html' can be a gzip).
+
+    Strict-prefix semantics over `MAGIC_PREFIXES` plus the RIFF
+    refinement (bytes 9-12 distinguish WEBP/WAV): matching happens on
+    `hex()` of the bytes, which both engines produce identically and
+    which never trips invalid-UTF-8 decode errors the way a
+    cast-to-string sniff would on real image bytes. 'text/html' means
+    "first byte is '<'" — no whitespace/BOM skipping, by design (a
+    page with leading whitespace is still mostly-html; callers that
+    care should normalize first). Unmatched -> 'unknown'.
+
+    Per-row JVM expressions only (hex + startswith + substr).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.hex(c)
+    riff_tag = F.substring(h, 17, 8)
+    expr = F.when(
+        h.startswith("52494646"),
+        F.when(riff_tag == "57454250", F.lit("image/webp"))
+        .when(riff_tag == "57415645", F.lit("audio/wav"))
+        .otherwise(F.lit("application/riff")),
+    )
+    for pfx, typ in MAGIC_PREFIXES:
+        expr = expr.when(h.startswith(pfx), F.lit(typ))
+    return expr.otherwise(F.lit("unknown"))
 
 
 # Fullwidth ASCII block U+FF01..U+FF5E maps 1:1 onto U+0021..U+007E;

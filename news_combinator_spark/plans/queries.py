@@ -3847,6 +3847,80 @@ SQL_POLITENESS_COMPOSITION = (
 )
 
 
+def q_content_sniff(spark, sf_dir):
+    """Magic-byte content-type sniffing over the BINARY html column
+    (pagehealth.sniff_content_type): doc_id%9 classes get png / gif /
+    pdf / jpeg / gzip / webp / wav / garbage prefixes prepended to
+    their bytes, %9==0 stays raw html ('<' rule). Servers lie in
+    Content-Type headers, so a crawler sniffs bytes; matching runs on
+    hex() so image bytes can't trip invalid-UTF-8 decodes in either
+    engine. The oracle rebuilds the same blobs and replays the
+    prefix table + RIFF refinement in SQL."""
+    from ..functions import pagehealth as ph
+
+    pages = pages_from_documents(spark, sf_dir)
+    m = F.col("doc_id") % 9
+    def pre(hexstr):
+        return F.concat(F.lit(bytes.fromhex(hexstr)), F.col("html"))
+    bin2 = (
+        F.when(m == 1, pre("89504E470D0A1A0A"))
+        .when(m == 2, pre("474946383961"))
+        .when(m == 3, pre("255044462D"))
+        .when(m == 4, pre("FFD8FF"))
+        .when(m == 5, pre("1F8B"))
+        .when(m == 6, pre("524946460000000057454250"))
+        .when(m == 7, pre("524946460000000057415645"))
+        .when(m == 8, pre("0001"))
+        .otherwise(F.col("html"))
+    )
+    fx = pages.select("doc_id", bin2.alias("bin"))
+    return fx.select(
+        "doc_id",
+        ph.sniff_content_type("bin").alias("content_type"),
+        F.length("bin").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_CONTENT_SNIFF = (
+    _pages_cte()
+    + r"""
+    , fx AS (
+        SELECT doc_id,
+               CASE doc_id % 9
+                 WHEN 1 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || html
+                 WHEN 2 THEN 'GIF89a'::BLOB || html
+                 WHEN 3 THEN '%PDF-'::BLOB || html
+                 WHEN 4 THEN '\xFF\xD8\xFF'::BLOB || html
+                 WHEN 5 THEN '\x1F\x8B'::BLOB || html
+                 WHEN 6 THEN 'RIFF\x00\x00\x00\x00WEBP'::BLOB || html
+                 WHEN 7 THEN 'RIFF\x00\x00\x00\x00WAVE'::BLOB || html
+                 WHEN 8 THEN '\x00\x01'::BLOB || html
+                 ELSE html END AS bin
+        FROM pages
+    )
+    , h AS (SELECT doc_id, hex(bin) AS hx, octet_length(bin) AS n_bytes
+            FROM fx)
+    SELECT doc_id,
+           CASE
+             WHEN starts_with(hx, '52494646') THEN
+                 CASE hx[17:24] WHEN '57454250' THEN 'image/webp'
+                                WHEN '57415645' THEN 'audio/wav'
+                                ELSE 'application/riff' END
+             WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png'
+             WHEN starts_with(hx, '474946383761') THEN 'image/gif'
+             WHEN starts_with(hx, '474946383961') THEN 'image/gif'
+             WHEN starts_with(hx, '255044462D') THEN 'application/pdf'
+             WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+             WHEN starts_with(hx, '504B0304') THEN 'application/zip'
+             WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+             WHEN starts_with(hx, '3C') THEN 'text/html'
+             ELSE 'unknown' END AS content_type,
+           n_bytes
+    FROM h
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3940,6 +4014,7 @@ QUERIES = {
     "admission_funnel": (q_admission_funnel, SQL_ADMISSION_FUNNEL),
     "politeness_composition": (q_politeness_composition,
                                SQL_POLITENESS_COMPOSITION),
+    "content_sniff": (q_content_sniff, SQL_CONTENT_SNIFF),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -124,3 +124,33 @@ def test_adaptive_budgets_approx_mode_runs(spark):
     exact = adaptive_budgets(log, 60.0, 1).collect()[0].budget
     approx = adaptive_budgets(log, 60.0, 1, exact=False).collect()[0].budget
     assert exact == approx == 64  # 60000/(2*250)=120, capped at 64
+
+def test_sniff_content_type_edges(spark):
+    """Classes the driver fixture doesn't inject: GIF87a, zip, a RIFF
+    container that is neither WEBP nor WAV, an empty blob, and a
+    whitespace-led html page (strict prefix -> unknown by design)."""
+    from news_combinator_spark.functions.pagehealth import (
+        sniff_content_type,
+    )
+
+    rows = [
+        ("gif87", b"GIF87a" + b"x" * 4),
+        ("zip", b"PK\x03\x04rest"),
+        ("riff_other", b"RIFF\x00\x00\x00\x00AVI LIST"),
+        ("empty", b""),
+        ("ws_html", b"  <html></html>"),
+        ("html", b"<!DOCTYPE html><p>x</p>"),
+    ]
+    df = spark.createDataFrame(rows, "k string, bin binary")
+    got = {
+        r.k: r.t
+        for r in df.select("k", sniff_content_type("bin").alias("t")).collect()
+    }
+    assert got == {
+        "gif87": "image/gif",
+        "zip": "application/zip",
+        "riff_other": "application/riff",
+        "empty": "unknown",
+        "ws_html": "unknown",
+        "html": "text/html",
+    }
