@@ -120,6 +120,7 @@ SQL_BENCH_QUERIES = [
     "admission_funnel",
     "politeness_composition",
     "content_sniff",
+    "pq_ann",
 ]
 
 

@@ -234,3 +234,222 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — ADC approximate search
+# ---------------------------------------------------------------------------
+
+def _l2sq(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _subvectors(df, id_name, vec_col, m, sub_len):
+    """(id, sub, sv): the vector split into m contiguous slices."""
+    return df.select(
+        F.col(id_name),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct("
+                f"s as sub, slice({vec_col}, s * {sub_len} + 1,"
+                f" {sub_len}) as sv))"
+            )
+        ).alias("p"),
+    ).select(id_name, F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-subspace PQ codebooks: (sub, code, centroid array<double>).
+
+    Seeds = the subvectors of the ``n_codes`` lowest-id corpus rows
+    (deterministic, SQL-replayable); ``train_iters`` optional Lloyd
+    refinements per subspace (posexplode + per-(sub, code, dim) mean,
+    all JVM-side; empty codes keep their seed). The codebook is
+    m*n_codes rows — kilobytes — and is broadcast by every consumer:
+    at 10^10 corpus rows the index state per executor stays constant
+    while the encoded corpus shrinks to m small ints per vector
+    (the point of PQ: the 256 GB of raw float32 vectors become
+    ~10 GB of codes that fit scan-side memory).
+    """
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sub_len = dim // m
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v"))
+    )
+    cb = (
+        _subvectors(seeds.withColumnRenamed("v", "vec"), "sid", "vec",
+                    m, sub_len)
+        .withColumn(
+            # frame bounded: n_codes rows per sub (the LIMIT above)
+            "code",
+            F.row_number().over(Window.partitionBy("sub").orderBy("sid")) - 1,
+        )
+        .select("sub", "code", F.col("sv").alias("centroid"))
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vsubs = None
+    for _ in range(train_iters):
+        if vsubs is None:
+            vsubs = _subvectors(
+                vecs.withColumnRenamed("v", "vec"), "id", "vec", m, sub_len
+            ).localCheckpoint(eager=False)
+        assigned = _pq_assign(vsubs, cb)
+        means = (
+            vsubs.join(assigned, ["id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("dim", "mu"))).alias("dm")
+            )
+            .select(
+                "sub", "code",
+                F.expr("transform(dm, p -> p.mu)").alias("nc"),
+            )
+        )
+        cb = cb.join(means, ["sub", "code"], "left").select(
+            "sub", "code", F.coalesce("nc", "centroid").alias("centroid")
+        )
+    return cb
+
+
+def _pq_assign(vsubs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(id, sub) -> nearest code by squared L2 (ties to lowest code)."""
+    scored = vsubs.join(F.broadcast(codebooks), "sub").withColumn(
+        "d2", _l2sq(F.col("sv"), F.col("centroid"))
+    )
+    return scored.groupBy("id", "sub").agg(
+        F.min_by("code", F.struct(F.col("d2").alias("d"),
+                                  F.col("code").alias("c"))).alias("code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Encode the corpus against trained codebooks: (id, sub, code) —
+    m small ints per vector. One broadcast join + one map-side-
+    combined groupBy; the raw vectors are never needed again by the
+    search path."""
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    sub_len = dim // m
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vsubs = _subvectors(vecs, "id", "vec", m, sub_len)
+    return _pq_assign(vsubs, codebooks)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    round_dist: int = 6,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: (query_id, neighbor_id,
+    rank, adc_dist). The query stays un-quantized; per (query, sub)
+    a distance TABLE to every centroid is precomputed (|Q|*m*n_codes
+    rows — broadcast), and each corpus vector's approximate distance
+    is the sum of m table lookups on its codes. Distances are rounded
+    to `round_dist` dp BEFORE ranking so a cross-engine ulp in the
+    sum cannot flip a rank (ties then break on neighbor_id).
+
+    ``rerank`` > k enables the production two-stage shape: the ADC
+    pass shortlists `rerank` candidates per query from codes alone,
+    then ONLY those |Q|*rerank rows fetch their raw vectors for an
+    exact squared-L2 re-rank (adc_dist then holds the exact
+    distance). Quantization error stops costing recall as long as a
+    true neighbor lands anywhere in the shortlist — the cheap knob
+    that buys recall without touching the scan side.
+
+    Scale shape: the scan side touches only the (id, sub, code)
+    frame — m ints per corpus vector, no raw vectors — joined to the
+    broadcast tables and reduced by one map-side-combined
+    groupBy(query_id, id) sum. Self-pairs excluded like
+    `brute_force_topk`. Exactness invariant: with codebooks covering
+    every distinct subvector, adc_dist IS the exact squared L2
+    distance (pinned in tests).
+    """
+    if n_codes <= 0 or m <= 0:
+        raise ValueError("m and n_codes must be positive")
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    sub_len = dim // m
+    cb = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        train_iters=train_iters, dim=dim,
+    )
+    codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col,
+                      dim=dim)
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+    )
+    qsubs = _subvectors(qvecs, "query_id", "vec", m, sub_len)
+    tables = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code",
+        _l2sq(F.col("sv"), F.col("centroid")).alias("dt"),
+    )
+    scored = (
+        codes.join(F.broadcast(tables), ["sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("dt"), round_dist).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if rerank > k:
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        cvecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        exact = (
+            shortlist.join(cvecs, "neighbor_id")
+            .join(F.broadcast(qvecs.withColumnRenamed("vec", "qv")),
+                  "query_id")
+            .withColumn(
+                "adc_dist",
+                F.round(_l2sq(F.col("qv"), F.col("cv")), round_dist),
+            )
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_dist")
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

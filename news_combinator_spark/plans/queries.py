@@ -3921,6 +3921,74 @@ SQL_CONTENT_SNIFF = (
 )
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN, ADC path (similarity.pq_topk with
+    seed codebooks, train_iters=0 so the whole index build is
+    SQL-replayable): dim 64 split into m=4 subspaces, 16 codes per
+    subspace seeded from the 16 lowest-id subvectors; every corpus
+    vector becomes 4 small ints and each query's distance is the sum
+    of 4 broadcast-table lookups, rounded before ranking. The oracle
+    rebuilds codebooks, encodes, builds the distance tables, and
+    re-ranks — the full PQ index lifecycle hash-checked. (The recall
+    story — Lloyd-refined codebooks + exact shortlist re-rank — is
+    engine-side and pinned by pytest instead.)"""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.pq_topk(emb, queries, k=5, m=4, n_codes=16, train_iters=0)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        "adc_dist",
+    )
+
+
+SQL_PQ_ANN = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    subs AS (
+        SELECT vec_id, s.sub, (v)[s.sub*16+1 : s.sub*16+16] AS sv
+        FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) s
+    ),
+    cb AS (
+        SELECT sub,
+               CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id)
+                    - 1 AS INT) AS code,
+               sv AS centroid
+        FROM subs WHERE vec_id < 16
+    ),
+    d2 AS (
+        SELECT s.vec_id, s.sub, c.code,
+               list_sum(list_transform(list_zip(s.sv, c.centroid),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        FROM subs s JOIN cb c ON s.sub = c.sub
+    ),
+    enc AS (
+        SELECT vec_id, sub, code FROM d2
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d, code) = 1
+    ),
+    tabs AS (
+        SELECT vec_id AS query_id, sub, code, d AS dt
+        FROM d2 WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT t.query_id, n.vec_id AS neighbor_id,
+               round(sum(t.dt), 6) AS adc_dist
+        FROM enc n JOIN tabs t ON n.sub = t.sub AND n.code = t.code
+        WHERE n.vec_id <> t.query_id
+        GROUP BY t.query_id, n.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4015,6 +4083,7 @@ QUERIES = {
     "politeness_composition": (q_politeness_composition,
                                SQL_POLITENESS_COMPOSITION),
     "content_sniff": (q_content_sniff, SQL_CONTENT_SNIFF),
+    "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -356,3 +356,99 @@ def test_remove_boilerplate_host_scoped(spark):
         4: ("NAV|gamma body", 2, 0),
         5: ("delta body", 1, 0),
     }
+
+
+def _pq_fixture(spark):
+    """20 vectors, dim 8: rows 16-19 reuse subvectors of rows 0-15, so
+    the seed codebook (lowest-16 ids) covers EVERY distinct subvector
+    in both m=2 subspaces."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(16, 8).round(3)
+    extra = np.stack([
+        np.concatenate([base[3, :4], base[9, 4:]]),
+        np.concatenate([base[5, :4], base[1, 4:]]),
+        np.concatenate([base[0, :4], base[15, 4:]]),
+        np.concatenate([base[8, :4], base[2, 4:]]),
+    ])
+    vecs = np.vstack([base, extra])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    return vecs, df
+
+
+def test_pq_adc_exactness_invariant(spark):
+    """With codebooks covering every distinct subvector, ADC distance
+    IS the exact squared L2 distance and the ranking equals exact
+    brute force — quantization error is provably the ONLY
+    approximation in the operator."""
+    import numpy as np
+
+    vecs, df = _pq_fixture(spark)
+    got = sim.pq_topk(
+        df, df.filter("vec_id < 3"), k=4, m=2, n_codes=16
+    ).toPandas()
+    for q in range(3):
+        d = ((vecs - vecs[q]) ** 2).sum(axis=1)
+        oracle = sorted(
+            (round(float(d[i]), 6), i) for i in range(20) if i != q
+        )[:4]
+        mine = got[got.query_id == q].sort_values("rank")
+        assert [i for _, i in oracle] == list(mine.neighbor_id)
+        assert np.allclose(
+            [dd_ for dd_, _ in oracle], mine.adc_dist, atol=1e-6
+        )
+
+
+def test_pq_rerank_recovers_recall(spark):
+    """Exact shortlist re-rank: recall@5 vs the exact-L2 oracle rises
+    monotonically with the shortlist and a full-corpus shortlist
+    reproduces exact search — the two-stage ADC+re-rank design works
+    end to end on real embeddings."""
+    import numpy as np
+
+    pdf = spark.read.parquet(f"{SF_MED}/embeddings.parquet").toPandas()
+    V = np.stack(pdf.embedding.values).astype(float)
+    ids = pdf.vec_id.values
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter("vec_id < 3")
+
+    def l2_oracle(q, k=5):
+        d = ((V - V[ids == q][0]) ** 2).sum(axis=1)
+        return [int(ids[j]) for j in np.argsort(d) if ids[j] != q][:k]
+
+    def recall(rerank):
+        got = sim.pq_topk(
+            df, queries, k=5, m=8, n_codes=16, train_iters=1,
+            rerank=rerank,
+        ).toPandas()
+        return sum(
+            len(set(got[got.query_id == q].neighbor_id)
+                & set(l2_oracle(q))) / 5
+            for q in range(3)
+        ) / 3
+
+    r0, r50 = recall(0), recall(50)
+    assert r50 >= r0
+    assert r50 >= 0.5, (r0, r50)
+    full = sim.pq_topk(
+        df, queries, k=5, m=8, n_codes=16, train_iters=1,
+        rerank=len(pdf) + 1,
+    ).toPandas()
+    for q in range(3):
+        mine = full[full.query_id == q].sort_values("rank")
+        assert list(mine.neighbor_id) == l2_oracle(q)
+
+
+def test_pq_invalid_params_raise(spark):
+    _, df = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        sim.pq_codebooks(df, m=3, n_codes=4, dim=8)
+    with pytest.raises(ValueError, match="positive"):
+        sim.pq_topk(df, df, m=0)
