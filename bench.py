@@ -121,6 +121,7 @@ SQL_BENCH_QUERIES = [
     "politeness_composition",
     "content_sniff",
     "pq_ann",
+    "request_rate_budgets",
 ]
 
 

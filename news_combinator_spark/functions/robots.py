@@ -36,6 +36,8 @@ __all__ = [
     "rules_from_robots_txt",
     "allow_disallow_rules",
     "crawl_delays_from_robots_txt",
+    "request_rates_from_robots_txt",
+    "effective_delays",
     "budgets_from_delays",
     "sitemaps_from_robots_txt",
 ]
@@ -182,6 +184,58 @@ def crawl_delays_from_robots_txt(
     return delays.groupBy("host").agg(
         F.max("crawl_delay").alias("crawl_delay")
     )
+
+
+def request_rates_from_robots_txt(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay double) from the
+    NONSTANDARD ``Request-rate: n/t`` directive (n pages per t
+    seconds -> delay t/n s), which pre-RFC crawlers honored alongside
+    Crawl-delay and plenty of sites still serve. Output schema matches
+    `crawl_delays_from_robots_txt` so the two compose with a plain
+    union + max (politest wins) into `budgets_from_delays` — see
+    `effective_delays`. Malformed or non-positive rates are dropped.
+    Time-window suffixes ('1/5 0600-1800') are ignored — the rate is
+    honored all day, the conservative reading."""
+    g = _agent_group_lines(robots, agent, host_col, txt_col)
+    rr = g.filter(F.col("directive") == "request-rate").select(
+        "host",
+        F.expr(
+            r"try_cast(regexp_extract(value, '^(\\d+)\\s*/\\s*(\\d+)', 1)"
+            " AS double)"
+        ).alias("n"),
+        F.expr(
+            r"try_cast(regexp_extract(value, '^(\\d+)\\s*/\\s*(\\d+)', 2)"
+            " AS double)"
+        ).alias("t"),
+    )
+    return (
+        rr.filter((F.col("n") > 0) & (F.col("t") > 0))
+        .select("host", (F.col("t") / F.col("n")).alias("crawl_delay"))
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+
+
+def effective_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Politest per-host delay across BOTH directives: max of
+    Crawl-delay and the Request-rate-implied delay. Feeds
+    `budgets_from_delays` unchanged."""
+    both = crawl_delays_from_robots_txt(
+        robots, agent, host_col, txt_col
+    ).unionByName(
+        request_rates_from_robots_txt(robots, agent, host_col, txt_col)
+    )
+    return both.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
 
 
 def budgets_from_delays(

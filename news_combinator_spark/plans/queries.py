@@ -3989,6 +3989,91 @@ SQL_PQ_ANN = """
 """
 
 
+def q_request_rate_budgets(spark, sf_dir):
+    """Request-rate directive parsing + politest-delay composition
+    (robots.request_rates_from_robots_txt / effective_delays): each
+    host's RAW robots body carries a different combination — rate
+    slower than Crawl-delay (wins), rate with a time-window suffix
+    (window ignored, conservative), rate alone (no Crawl-delay),
+    malformed rate (dropped, Crawl-delay stands) — and budgets follow
+    max(delay). The oracle rebuilds the same raw bodies and
+    re-parses the directives (n/t extraction, malformed drop, max
+    composition, budget floor) in SQL; full agent-group segmentation
+    is already hash-pinned by robots_rules/crawl_delay_budgets."""
+    pages = pages_from_documents(spark, sf_dir)
+    hosts = pages.select("host").distinct()
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    body = (
+        F.when(hn % 4 == 0,
+               F.lit("User-agent: *\nCrawl-delay: 2\nRequest-rate: 1/5\n"))
+        .when(hn % 4 == 1,
+              F.lit("User-agent: *\nCrawl-delay: 4\n"
+                    "Request-rate: 2/6 0600-1800\n"))
+        .when(hn % 4 == 2,
+              F.lit("User-agent: *\nRequest-rate: 1/3\n"))
+        .otherwise(
+            F.lit("User-agent: *\nCrawl-delay: 2\nRequest-rate: abc\n"))
+    )
+    robots = hosts.select("host", body.alias("robots_txt"))
+    delays = rb.effective_delays(robots)
+    budgets = rb.budgets_from_delays(
+        delays, round_seconds=60.0, default_budget=3, hosts=hosts
+    )
+    return delays.join(budgets, "host").select(
+        "host",
+        F.round("crawl_delay", 4).alias("effective_delay"),
+        F.col("budget").cast("int").alias("budget"),
+    )
+
+
+SQL_REQUEST_RATE_BUDGETS = (
+    _pages_cte()
+    + r"""
+    , hosts AS (
+        SELECT DISTINCT host,
+               CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) % 4 AS hn
+        FROM pages
+    )
+    , bodies AS (
+        SELECT host,
+               CASE hn
+                 WHEN 0 THEN 'User-agent: *' || chr(10) ||
+                      'Crawl-delay: 2' || chr(10) || 'Request-rate: 1/5'
+                 WHEN 1 THEN 'User-agent: *' || chr(10) ||
+                      'Crawl-delay: 4' || chr(10) ||
+                      'Request-rate: 2/6 0600-1800'
+                 WHEN 2 THEN 'User-agent: *' || chr(10) ||
+                      'Request-rate: 1/3'
+                 ELSE 'User-agent: *' || chr(10) ||
+                      'Crawl-delay: 2' || chr(10) || 'Request-rate: abc'
+               END AS body
+        FROM hosts
+    )
+    , parsed AS (
+        SELECT host,
+               TRY_CAST(nullif(regexp_extract(body,
+                   'Crawl-delay:\s*([0-9.]+)', 1), '') AS DOUBLE) AS cd,
+               TRY_CAST(nullif(regexp_extract(body,
+                   'Request-rate:\s*(\d+)\s*/\s*(\d+)', 1), '')
+                   AS DOUBLE) AS n,
+               TRY_CAST(nullif(regexp_extract(body,
+                   'Request-rate:\s*(\d+)\s*/\s*(\d+)', 2), '')
+                   AS DOUBLE) AS t
+        FROM bodies
+    )
+    , d AS (
+        SELECT host,
+               greatest(coalesce(cd, 0.0),
+                        coalesce(t / nullif(n, 0.0), 0.0)) AS delay
+        FROM parsed
+    )
+    SELECT host, round(delay, 4) AS effective_delay,
+           CAST(greatest(1, floor(60.0 / delay)) AS INT) AS budget
+    FROM d WHERE delay > 0
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4084,6 +4169,8 @@ QUERIES = {
                                SQL_POLITENESS_COMPOSITION),
     "content_sniff": (q_content_sniff, SQL_CONTENT_SNIFF),
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
+    "request_rate_budgets": (q_request_rate_budgets,
+                             SQL_REQUEST_RATE_BUDGETS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

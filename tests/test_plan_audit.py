@@ -237,7 +237,7 @@ _LAZY_QUERIES = [
     "robots_longest_match", "soft404_filter", "mojibake_repair",
     "adaptive_budgets", "canonical_consolidate", "registered_domains",
     "normalize_text", "admission_funnel", "politeness_composition",
-    "content_sniff", "pq_ann",
+    "content_sniff", "pq_ann", "request_rate_budgets",
 ]
 
 

@@ -247,3 +247,38 @@ def test_allow_disallow_rules_drop_empty_values(spark):
         for r in allow_disallow_rules(robots).collect()
     }
     assert got == {("/a", False), ("/a/b", True)}
+
+
+def test_request_rate_parse_and_composition(spark):
+    """Request-rate: n/t -> delay t/n; politest (max) wins across
+    multiple applying values; zero/malformed rates drop; time-window
+    suffixes are ignored (rate honored all day); other agents'
+    groups don't leak; effective_delays = max(Crawl-delay, rate)."""
+    from news_combinator_spark.functions.robots import (
+        effective_delays,
+        request_rates_from_robots_txt,
+    )
+
+    txt = (
+        "User-agent: otherbot\nRequest-rate: 1/100\n\n"
+        "User-agent: *\n"
+        "Crawl-delay: 4\n"
+        "Request-rate: 1/6\n"
+        "Request-rate: 2/4 0600-1800\n"   # 2s, window ignored
+        "Request-rate: 0/5\n"             # zero pages -> dropped
+        "Request-rate: 5/0\n"             # zero seconds -> dropped
+        "Request-rate: abc\n"             # malformed -> dropped
+    )
+    robots = spark.createDataFrame(
+        [("h.test", txt), ("norate.test", "User-agent: *\nCrawl-delay: 7\n")],
+        "host string, robots_txt string",
+    )
+    rates = {
+        r.host: r.crawl_delay
+        for r in request_rates_from_robots_txt(robots).collect()
+    }
+    assert rates == {"h.test": 6.0}  # max(6/1, 4/2); otherbot ignored
+    eff = {
+        r.host: r.crawl_delay for r in effective_delays(robots).collect()
+    }
+    assert eff == {"h.test": 6.0, "norate.test": 7.0}
