@@ -373,6 +373,8 @@ def pq_topk(
     train_iters: int = 0,
     round_dist: int = 6,
     rerank: int = 0,
+    n_cells: int = 0,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: (query_id, neighbor_id,
     rank, adc_dist). The query stays un-quantized; per (query, sub)
@@ -389,6 +391,14 @@ def pq_topk(
     distance). Quantization error stops costing recall as long as a
     true neighbor lands anywhere in the shortlist — the cheap knob
     that buys recall without touching the scan side.
+
+    ``n_cells`` > 0 adds IVF blocking in front of ADC (IVF-PQ, the
+    FAISS production architecture): the corpus is assigned to coarse
+    cells (`assign_cells`), each query probes only its ``n_probe``
+    nearest cells, and the ADC sum runs over the probed members
+    instead of the whole code table — candidate volume drops by
+    ~n_cells/n_probe while the broadcast index state stays KB-sized.
+    With n_probe >= n_cells the blocking is a no-op (pinned in tests).
 
     Scale shape: the scan side touches only the (id, sub, code)
     frame — m ints per corpus vector, no raw vectors — joined to the
@@ -416,12 +426,37 @@ def pq_topk(
         "query_id", "sub", "code",
         _l2sq(F.col("sv"), F.col("centroid")).alias("dt"),
     )
-    scored = (
-        codes.join(F.broadcast(tables), ["sub", "code"])
-        .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.round(F.sum("dt"), round_dist).alias("adc_dist"))
-    )
+    if n_cells > 0:
+        centroids, assign = assign_cells(
+            corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+        q_scored = qvecs.join(F.broadcast(centroids)).withColumn(
+            "d",
+            _dot(F.col("vec"), F.col("centroid")) / F.col("centroid_norm"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("d"), F.asc("cell")
+        )
+        probes = (
+            q_scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", "cell")
+        )
+        cand = probes.join(assign, "cell").select("query_id", "id")
+        scored = (
+            cand.filter(F.col("id") != F.col("query_id"))
+            .join(codes, "id")
+            .join(F.broadcast(tables), ["query_id", "sub", "code"])
+            .groupBy("query_id", F.col("id").alias("neighbor_id"))
+            .agg(F.round(F.sum("dt"), round_dist).alias("adc_dist"))
+        )
+    else:
+        scored = (
+            codes.join(F.broadcast(tables), ["sub", "code"])
+            .filter(F.col("id") != F.col("query_id"))
+            .groupBy("query_id", F.col("id").alias("neighbor_id"))
+            .agg(F.round(F.sum("dt"), round_dist).alias("adc_dist"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )

@@ -452,3 +452,42 @@ def test_pq_invalid_params_raise(spark):
         sim.pq_codebooks(df, m=3, n_codes=4, dim=8)
     with pytest.raises(ValueError, match="positive"):
         sim.pq_topk(df, df, m=0)
+
+
+def test_ivf_pq_blocking(spark):
+    """IVF-PQ: with n_probe >= n_cells the blocking is a no-op (same
+    output as plain ADC); at partial probes + full rerank the only
+    possible loss is a true neighbor outside the probed cells, so
+    recall vs exact L2 stays at a usable floor."""
+    import numpy as np
+
+    pdf = spark.read.parquet(f"{SF_MED}/embeddings.parquet").toPandas()
+    V = np.stack(pdf.embedding.values).astype(float)
+    ids = pdf.vec_id.values
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter("vec_id < 3")
+    plain = sim.pq_topk(df, queries, k=5, m=8, n_codes=16).toPandas()
+    noop = sim.pq_topk(
+        df, queries, k=5, m=8, n_codes=16, n_cells=8, n_probe=8
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d[["query_id", "neighbor_id",
+                                         "rank"]].values.tolist()))
+    assert key(plain) == key(noop)
+
+    def l2_oracle(q, k=5):
+        d = ((V - V[ids == q][0]) ** 2).sum(axis=1)
+        return [int(ids[j]) for j in np.argsort(d) if ids[j] != q][:k]
+
+    blocked = sim.pq_topk(
+        df, queries, k=5, m=8, n_codes=16, n_cells=8, n_probe=4,
+        rerank=100,
+    ).toPandas()
+    rec = sum(
+        len(set(blocked[blocked.query_id == q].neighbor_id)
+            & set(l2_oracle(q))) / 5
+        for q in range(3)
+    ) / 3
+    assert rec >= 0.5, rec
