@@ -122,6 +122,7 @@ SQL_BENCH_QUERIES = [
     "content_sniff",
     "pq_ann",
     "request_rate_budgets",
+    "meta_robots_gate",
 ]
 
 

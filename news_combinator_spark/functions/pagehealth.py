@@ -39,6 +39,8 @@ __all__ = [
     "normalize_text",
     "MAGIC_PREFIXES",
     "sniff_content_type",
+    "meta_robots_flags",
+    "link_follow_counts",
 ]
 
 # Error phrases that mark a title/h1 as an error template. Kept to
@@ -130,6 +132,53 @@ def mojibake_signals(
     return df.withColumn("n_mojibake", n.cast("long")).withColumn(
         "is_mojibake", n >= F.lit(min_hits)
     )
+
+
+def meta_robots_flags(pages: DataFrame, html_col: str = "html_str") -> DataFrame:
+    """Append ``noindex`` / ``nofollow`` booleans from the page-level
+    ``<meta name="robots" content="...">`` directive — the in-page
+    counterpart of robots.txt that a compliant crawler MUST honor:
+    noindex pages are fetched but never stored, nofollow pages'
+    links never enter the frontier.
+
+    Token matching is case-insensitive and order-independent inside
+    the content list ('NOINDEX, nofollow' works); 'none' implies
+    both, per the Google/Bing documented semantics. A page without
+    the meta tag gets false/false. Per-row JVM regexes only."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    content = F.lower(
+        F.regexp_extract(
+            c, r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1
+        )
+    )
+    has = lambda tok: content.rlike(rf"(^|[,\s]){tok}([,\s]|$)")
+    none = has("none")
+    return pages.withColumn(
+        "noindex", none | has("noindex")
+    ).withColumn("nofollow", none | has("nofollow"))
+
+
+def link_follow_counts(
+    pages: DataFrame, html_col: str = "html_str"
+) -> DataFrame:
+    """Append ``n_links_total`` / ``n_links_follow``: anchors whose
+    tag carries ``rel="nofollow"`` are excluded from the follow
+    count (page-level meta nofollow is `meta_robots_flags`' job —
+    compose: follow links = 0 when nofollow). Counting is two JVM
+    regexp_count passes over the anchor tags; no parser, no UDF."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    total = F.regexp_count(c, F.lit(r'(?i)<a\s[^>]*href="[^"]*"'))
+    # both attribute orders, counted separately (no lookahead — the
+    # oracle's RE2 engine has none); an anchor carries at most one
+    # order so the sum cannot double-count
+    nofollow = F.regexp_count(
+        c, F.lit(r'(?i)<a\s[^>]*href="[^"]*"[^>]*rel="nofollow"')
+    ) + F.regexp_count(
+        c, F.lit(r'(?i)<a\s[^>]*rel="nofollow"[^>]*href="[^"]*"')
+    )
+    return pages.withColumn(
+        "n_links_total", total.cast("long")
+    ).withColumn("n_links_follow", (total - nofollow).cast("long"))
 
 
 # (prefix_hex, type), longest/most-specific first — the match order

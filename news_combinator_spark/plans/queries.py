@@ -4074,6 +4074,97 @@ SQL_REQUEST_RATE_BUDGETS = (
 )
 
 
+def q_meta_robots_gate(spark, sf_dir):
+    """Page-level robots directives + nofollow-aware link counting
+    (pagehealth.meta_robots_flags / link_follow_counts): doc_id%4
+    injects no meta / noindex / 'NOFOLLOW' (case-insensitivity) /
+    'none' (implies both); doc_id%5==2 marks the n1 anchor
+    rel=nofollow in href-first order and %5==3 marks the offsite
+    anchor in rel-first order, so both attribute orders and the
+    follow-count subtraction are under the hash. The oracle replays
+    meta extraction, token matching, and both anchor counts in SQL."""
+    from ..functions import pagehealth as ph
+
+    pages = pages_from_documents(spark, sf_dir)
+    m4 = F.col("doc_id") % 4
+    meta = (
+        F.when(m4 == 1, F.lit('<meta name="robots" content="noindex"/>'))
+        .when(m4 == 2, F.lit('<meta name="robots" content="NOFOLLOW"/>'))
+        .when(m4 == 3, F.lit('<meta name="robots" content="none"/>'))
+        .otherwise(F.lit(""))
+    )
+    html2 = F.replace(
+        "html_str", F.lit("</head>"), F.concat(meta, F.lit("</head>"))
+    )
+    html3 = F.when(
+        F.col("doc_id") % 5 == 2,
+        F.replace(html2, F.lit('">n1</a>'), F.lit('" rel="nofollow">n1</a>')),
+    ).when(
+        F.col("doc_id") % 5 == 3,
+        F.regexp_replace(
+            html2,
+            '<a href="(http://offsite[^"]*)">ext</a>',
+            '<a rel="nofollow" href="$1">ext</a>',
+        ),
+    ).otherwise(html2)
+    fx = pages.select("doc_id", html3.alias("html_str"))
+    out = ph.link_follow_counts(ph.meta_robots_flags(fx))
+    return out.select(
+        "doc_id", "noindex", "nofollow", "n_links_total", "n_links_follow"
+    )
+
+
+SQL_META_ROBOTS_GATE = (
+    _pages_cte()
+    + r"""
+    , fx AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 2 THEN replace(h2, '">n1</a>',
+                                     '" rel="nofollow">n1</a>')
+                 WHEN 3 THEN regexp_replace(h2,
+                     '<a href="(http://offsite[^"]*)">ext</a>',
+                     '<a rel="nofollow" href="\1">ext</a>')
+                 ELSE h2 END AS html_str
+        FROM (
+            SELECT doc_id,
+                   replace(html_str, '</head>',
+                       CASE doc_id % 4
+                         WHEN 1 THEN '<meta name="robots" content="noindex"/>'
+                         WHEN 2 THEN '<meta name="robots" content="NOFOLLOW"/>'
+                         WHEN 3 THEN '<meta name="robots" content="none"/>'
+                         ELSE '' END || '</head>') AS h2
+            FROM pages
+        )
+    )
+    , f AS (
+        SELECT doc_id,
+               lower(regexp_extract(html_str,
+                   '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1))
+                   AS content,
+               CAST(len(regexp_extract_all(html_str,
+                   '(?i)<a\s[^>]*href="[^"]*"')) AS BIGINT) AS n_total,
+               CAST(len(regexp_extract_all(html_str,
+                   '(?i)<a\s[^>]*href="[^"]*"[^>]*rel="nofollow"'))
+                   + len(regexp_extract_all(html_str,
+                   '(?i)<a\s[^>]*rel="nofollow"[^>]*href="[^"]*"'))
+                   AS BIGINT) AS n_nofollow
+        FROM fx
+    )
+    SELECT doc_id,
+           regexp_matches(content, '(^|[,\s])none([,\s]|$)')
+               OR regexp_matches(content, '(^|[,\s])noindex([,\s]|$)')
+               AS noindex,
+           regexp_matches(content, '(^|[,\s])none([,\s]|$)')
+               OR regexp_matches(content, '(^|[,\s])nofollow([,\s]|$)')
+               AS nofollow,
+           n_total AS n_links_total,
+           n_total - n_nofollow AS n_links_follow
+    FROM f
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4171,6 +4262,7 @@ QUERIES = {
     "pq_ann": (q_pq_ann, SQL_PQ_ANN),
     "request_rate_budgets": (q_request_rate_budgets,
                              SQL_REQUEST_RATE_BUDGETS),
+    "meta_robots_gate": (q_meta_robots_gate, SQL_META_ROBOTS_GATE),
     "multimodal_features": (q_multimodal_features, None),
 }
 

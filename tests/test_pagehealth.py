@@ -154,3 +154,34 @@ def test_sniff_content_type_edges(spark):
         "ws_html": "unknown",
         "html": "text/html",
     }
+
+
+def test_meta_robots_and_follow_links_edges(spark):
+    """Token semantics: list values split on commas ('noindex, follow'
+    -> noindex only), 'nonefoo' must not match 'none', anchors
+    without href don't count, and null html is all-false/zero."""
+    from news_combinator_spark.functions.pagehealth import (
+        link_follow_counts,
+        meta_robots_flags,
+    )
+
+    rows = [
+        ("list", '<meta name="robots" content="noindex, follow"/>'
+                 '<a href="/a">x</a><a name="anchor-no-href">y</a>'),
+        ("notnone", '<meta name="robots" content="nonefoo"/>'
+                    '<a href="/a" rel="nofollow">x</a>'),
+        ("rel_first", '<a rel="nofollow" href="/a">x</a><a href="/b">y</a>'),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, html_str string")
+    out = {
+        r.k: r
+        for r in link_follow_counts(meta_robots_flags(df)).collect()
+    }
+    assert out["list"].noindex and not out["list"].nofollow
+    assert out["list"].n_links_total == 1 == out["list"].n_links_follow
+    assert not out["notnone"].noindex and not out["notnone"].nofollow
+    assert out["notnone"].n_links_follow == 0
+    assert out["rel_first"].n_links_total == 2
+    assert out["rel_first"].n_links_follow == 1
+    assert not out["null"].noindex and out["null"].n_links_total == 0
