@@ -183,6 +183,98 @@ def streaming_seen_filter(
     )
 
 
+def streaming_politeness_scheduler(
+    spark: SparkSession,
+    input_dir: str,
+    budget: int = 2,
+    max_backlog: int = 100,
+    schema: str = "url string, host string, priority int",
+    query_name: str = "politeness",
+):
+    """The frontier's C2 politeness budget as a stateful streaming
+    stage: per HOST, at most ``budget`` URLs are emitted per
+    micro-batch, chosen by (priority, url) — the same selection rule
+    as the batch `schedule_per_host`. Unemitted URLs persist in state
+    as a backlog (capped at ``max_backlog`` best rows; anything
+    beyond is dropped — the streaming analog of the batch scheduler's
+    deferred set, which an unbounded stream cannot keep whole) and
+    compete again next batch.
+
+    Output adds ``batch_seq``, the per-host emission sequence number
+    (cumulative across batches), so downstream fetchers can pace
+    requests. State is one bounded list per host — exactly the
+    per-host frame the batch scheduler windows over, RocksDB-sized
+    at 10^10 URLs because the cap is per HOST, not global.
+
+    NoTimeout caveat: a host's group function only runs in batches
+    where that host HAS input rows, so a fully idle host's backlog
+    waits for its next candidate (or forever). A production
+    deployment that must drain idle backlogs uses
+    ProcessingTimeTimeout with a per-host timer instead — same state
+    layout, time-based invocation; withheld here because timer
+    firings are wall-clock-dependent and this repo pins every test
+    deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    urls = (
+        spark.readStream.format("parquet").schema(schema).load(input_dir)
+    )
+
+    def _schedule(key, pdf_iter, st):
+        if st.exists:
+            backlog_u, backlog_p, emitted = st.get
+            pool = list(zip(backlog_p, backlog_u))
+            n_emitted = int(emitted)
+        else:
+            pool, n_emitted = [], 0
+        for pdf in pdf_iter:
+            pool.extend(zip(pdf["priority"], pdf["url"]))
+        pool.sort(key=lambda t: (t[0], t[1]))
+        take = pool[:budget]
+        keep = pool[budget : budget + max_backlog]
+        host = key[0]
+        out = pd.DataFrame(
+            {
+                "url": [u for _, u in take],
+                "host": host,
+                "priority": [int(p) for p, _ in take],
+                "batch_seq": [n_emitted + i for i in range(len(take))],
+            }
+        ) if take else pd.DataFrame(
+            {"url": [], "host": [], "priority": [], "batch_seq": []}
+        )
+        st.update((
+            [u for _, u in keep],
+            [int(p) for p, _ in keep],
+            n_emitted + len(take),
+        ))
+        yield out
+
+    out = urls.groupBy("host").applyInPandasWithState(
+        _schedule,
+        outputStructType=(
+            "url string, host string, priority int, batch_seq long"
+        ),
+        stateStructType=(
+            "backlog_urls array<string>, backlog_prios array<int>, "
+            "emitted long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_warc_ingest(
     spark: SparkSession,
     input_dir: str,

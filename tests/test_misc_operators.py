@@ -201,3 +201,75 @@ def test_streaming_stateful_seen_filter(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_streaming_politeness_scheduler(spark, tmp_path):
+    """C2 as a stateful streaming op: per host at most `budget` URLs
+    per micro-batch chosen by (priority, url); losers persist as a
+    capped backlog and win later batches; batch_seq numbers each
+    host's emissions cumulatively."""
+    from news_combinator_spark.streaming.incremental import (
+        streaming_politeness_scheduler,
+    )
+
+    in_dir = str(tmp_path / "cand")
+    schema = "url string, host string, priority int"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: 4 candidates on a.test (budget 2) + 1 on b.test
+    write_batch(
+        [("http://a.test/3", "a.test", 1),
+         ("http://a.test/1", "a.test", 0),
+         ("http://a.test/2", "a.test", 0),
+         ("http://a.test/4", "a.test", 2),
+         ("http://b.test/1", "b.test", 1)],
+    )
+    q = streaming_politeness_scheduler(
+        spark, in_dir, budget=2, query_name="t_sched"
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT * FROM t_sched ORDER BY host, batch_seq"
+        ).collect()
+        a1 = [(r.url, r.batch_seq) for r in got if r.host == "a.test"]
+        assert a1 == [("http://a.test/1", 0), ("http://a.test/2", 1)]
+        assert [(r.url, r.batch_seq) for r in got if r.host == "b.test"] == [
+            ("http://b.test/1", 0)
+        ]
+        # batch 2: one better-priority newcomer competes with backlog
+        write_batch([("http://a.test/0", "a.test", 0)])
+        q.processAllAvailable()
+        got2 = spark.sql(
+            "SELECT * FROM t_sched WHERE host = 'a.test' "
+            "ORDER BY batch_seq"
+        ).collect()
+        # newcomer (prio 0) wins slot 2; backlog prio-1 url takes slot 3;
+        # the prio-2 url stays backlogged
+        assert [(r.url, r.batch_seq) for r in got2] == [
+            ("http://a.test/1", 0), ("http://a.test/2", 1),
+            ("http://a.test/0", 2), ("http://a.test/3", 3),
+        ]
+        # batch 3: any a.test traffic re-invokes the host's group, so
+        # the backlogged prio-2 url finally drains ahead of the worse
+        # newcomer (NoTimeout: an idle host's backlog waits — see
+        # the operator docstring)
+        write_batch([("http://a.test/9", "a.test", 5)])
+        q.processAllAvailable()
+        got3 = spark.sql(
+            "SELECT url, batch_seq FROM t_sched WHERE host = 'a.test' "
+            "ORDER BY batch_seq"
+        ).collect()
+        assert [(r.url, r.batch_seq) for r in got3[-2:]] == [
+            ("http://a.test/4", 4), ("http://a.test/9", 5),
+        ]
+    finally:
+        q.stop()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        streaming_politeness_scheduler(spark, in_dir, budget=0)
