@@ -535,14 +535,30 @@ def crawl(
                 )
             else:
                 new = cand.join(seen_df(), "url", "left_anti")
-            new = new.select(*FRONTIER_COLS).localCheckpoint()
+            # ONE materialization per round for both frames: the next
+            # frontier (deferred + new) and the seen delta (new) are
+            # the same rows modulo a flag, so checkpointing the
+            # flagged union halves the per-round action count vs
+            # checkpointing `new` and `frontier` separately — at
+            # sandbox scale the sequential driver barriers ARE the
+            # crawl's critical path (BENCH/BASELINE.md), and on a real
+            # cluster it's one fewer job submission per round.
+            combined = (
+                deferred.select(*FRONTIER_COLS)
+                .withColumn("is_new", F.lit(False))
+                .unionByName(
+                    new.select(*FRONTIER_COLS).withColumn(
+                        "is_new", F.lit(True)
+                    )
+                )
+                .localCheckpoint()
+            )
+            frontier = combined.drop("is_new")
+            new = combined.filter("is_new").drop("is_new")
             if collect_lineage:
                 metrics.enqueued = new.count()
                 metrics.deduped = metrics.discovered - metrics.robots_blocked - metrics.enqueued
 
-            frontier = deferred.select(*FRONTIER_COLS).unionByName(
-                new
-            ).localCheckpoint()
             seen_parts.append(new.select("url"))
             if bloom is not None:
                 m2, k2 = bloom.m, bloom.k
