@@ -123,6 +123,7 @@ SQL_BENCH_QUERIES = [
     "pq_ann",
     "request_rate_budgets",
     "meta_robots_gate",
+    "hreflang_alternates",
 ]
 
 

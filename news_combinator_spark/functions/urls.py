@@ -110,6 +110,32 @@ def canonical_href(html_col) -> F.Column:
                                F.nullif(href_first, F.lit(""))), F.lit(""))
 
 
+def hreflang_links(df, html_col: str = "html_str", url_col: str = "url"):
+    """Explode ``<link rel="alternate" hreflang=.. href=..>`` tags into
+    (url, hreflang, alt_url) rows — the translation graph a
+    multilingual crawl needs (language variants are near-dups BY
+    DECLARATION; training pipelines keep one per language or link
+    them as parallel text). Tags missing either attribute are
+    dropped; both attribute orders inside the tag work because the
+    per-tag extraction runs on the isolated tag text. Per-row JVM
+    regexes; one explode, no parser."""
+    tags = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")),
+        F.lit(r'(?i)<link[^>]*rel="alternate"[^>]*>'),
+        0,
+    )
+    out = df.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("tag")
+    ).select(
+        "url",
+        F.regexp_extract("tag", r'hreflang="([^"]*)"', 1).alias("hreflang"),
+        F.regexp_extract("tag", r'href="([^"]*)"', 1).alias("alt_url"),
+    )
+    return out.filter(
+        (F.col("hreflang") != "") & (F.col("alt_url") != "")
+    )
+
+
 # A deliberately small built-in public-suffix set: the multi-label
 # suffixes a crawl actually needs to split correctly plus the common
 # gTLDs. A production deployment swaps in the full Mozilla PSL — the

@@ -4165,6 +4165,65 @@ SQL_META_ROBOTS_GATE = (
 )
 
 
+def q_hreflang_alternates(spark, sf_dir):
+    """hreflang alternate extraction (urls.hreflang_links): docs with
+    doc_id%3==0 declare a French variant (href-first attribute
+    order) and an x-default pointing at themselves (hreflang-first
+    order), one malformed tag without href is dropped; other docs
+    have no alternates. The oracle replays tag explosion and per-tag
+    attribute extraction in SQL."""
+    from ..functions.urls import hreflang_links
+
+    pages = pages_from_documents(spark, sf_dir)
+    fr_url = F.concat(F.lit("http://fr.h/"), F.col("doc_id").cast("string"))
+    inj = F.concat(
+        F.lit('<link href="'), fr_url,
+        F.lit('" rel="alternate" hreflang="fr"/>'),
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        F.col("url"), F.lit('"/>'),
+        F.lit('<link rel="alternate" hreflang="de"/>'),  # no href: drop
+        F.lit("</head>"),
+    )
+    fx = pages.select(
+        "url",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace("html_str", F.lit("</head>"), inj),
+        ).otherwise(F.col("html_str")).alias("html_str"),
+    )
+    return hreflang_links(fx)
+
+
+SQL_HREFLANG_ALTERNATES = (
+    _pages_cte()
+    + r"""
+    , fx AS (
+        SELECT url,
+               CASE WHEN doc_id % 3 = 0 THEN replace(html_str, '</head>',
+                   '<link href="http://fr.h/' || CAST(doc_id AS VARCHAR)
+                   || '" rel="alternate" hreflang="fr"/>'
+                   || '<link rel="alternate" hreflang="x-default" href="'
+                   || url || '"/>'
+                   || '<link rel="alternate" hreflang="de"/>'
+                   || '</head>')
+                    ELSE html_str END AS html_str
+        FROM pages
+    )
+    , tags AS (
+        SELECT url, unnest(regexp_extract_all(html_str,
+                   '(?i)<link[^>]*rel="alternate"[^>]*>', 0)) AS tag
+        FROM fx
+    )
+    SELECT url,
+           regexp_extract(tag, 'hreflang="([^"]*)"', 1) AS hreflang,
+           regexp_extract(tag, 'href="([^"]*)"', 1) AS alt_url
+    FROM tags
+    WHERE regexp_extract(tag, 'hreflang="([^"]*)"', 1) <> ''
+      AND regexp_extract(tag, 'href="([^"]*)"', 1) <> ''
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4263,6 +4322,7 @@ QUERIES = {
     "request_rate_budgets": (q_request_rate_budgets,
                              SQL_REQUEST_RATE_BUDGETS),
     "meta_robots_gate": (q_meta_robots_gate, SQL_META_ROBOTS_GATE),
+    "hreflang_alternates": (q_hreflang_alternates, SQL_HREFLANG_ALTERNATES),
     "multimodal_features": (q_multimodal_features, None),
 }
 
