@@ -242,6 +242,29 @@ _LAZY_QUERIES = [
 ]
 
 
+# queries whose build is EAGER (loops with localCheckpoint, scalar
+# collects the docstrings justify) — audited by their own tests, not
+# the lazy-plan parametrization above
+_EAGER_AUDITED_ELSEWHERE = {
+    # crawl loop: test_frontier_fetch_order_no_global_window
+    "crawl_frontier", "crawl_seen_set",
+    # CC / greedy iteration loops: test_clustering / test_linkgraph
+    "news_clusters_lsh", "near_dup_groups", "link_rank",
+}
+
+
+def test_every_registered_query_is_plan_audited():
+    """Drift guard: a new queries.py entry must either join
+    _LAZY_QUERIES (and get the single-partition audit) or be listed
+    as eager-audited-elsewhere — it cannot silently skip plan
+    review."""
+    covered = set(_LAZY_QUERIES) | _EAGER_AUDITED_ELSEWHERE
+    missing = sorted(set(Q.QUERIES) - covered)
+    assert not missing, f"queries with no plan audit: {missing}"
+    unknown = sorted(set(_LAZY_QUERIES) - set(Q.QUERIES))
+    assert not unknown, f"_LAZY_QUERIES entries not registered: {unknown}"
+
+
 @pytest.mark.parametrize("qname", _LAZY_QUERIES)
 def test_no_unbounded_single_partition_exchange(spark, qname):
     fn, _sql = Q.QUERIES[qname]
