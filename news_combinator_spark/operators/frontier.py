@@ -94,6 +94,13 @@ class CrawlResult:
         )
 
 
+# A/B toggle for the per-round checkpoint shape (fold = one combined
+# materialization; unfold = the pre-fold new+frontier pair). Module
+# flag, not API: exists so the fold's effect is measurable inside one
+# process (this box forbids cross-process timing comparisons).
+_FOLD_ROUND_CHECKPOINTS = True
+
+
 def schedule_per_host(
     frontier: DataFrame, budgets: DataFrame, salt_buckets: int = 0
 ) -> DataFrame:
@@ -543,18 +550,24 @@ def crawl(
             # sandbox scale the sequential driver barriers ARE the
             # crawl's critical path (BENCH/BASELINE.md), and on a real
             # cluster it's one fewer job submission per round.
-            combined = (
-                deferred.select(*FRONTIER_COLS)
-                .withColumn("is_new", F.lit(False))
-                .unionByName(
-                    new.select(*FRONTIER_COLS).withColumn(
-                        "is_new", F.lit(True)
+            if _FOLD_ROUND_CHECKPOINTS:
+                combined = (
+                    deferred.select(*FRONTIER_COLS)
+                    .withColumn("is_new", F.lit(False))
+                    .unionByName(
+                        new.select(*FRONTIER_COLS).withColumn(
+                            "is_new", F.lit(True)
+                        )
                     )
+                    .localCheckpoint()
                 )
-                .localCheckpoint()
-            )
-            frontier = combined.drop("is_new")
-            new = combined.filter("is_new").drop("is_new")
+                frontier = combined.drop("is_new")
+                new = combined.filter("is_new").drop("is_new")
+            else:  # pre-fold shape, kept for A/B measurement
+                new = new.select(*FRONTIER_COLS).localCheckpoint()
+                frontier = deferred.select(*FRONTIER_COLS).unionByName(
+                    new
+                ).localCheckpoint()
             if collect_lineage:
                 metrics.enqueued = new.count()
                 metrics.deduped = metrics.discovered - metrics.robots_blocked - metrics.enqueued
