@@ -55,6 +55,34 @@ def main() -> None:
         "Exchange-free); 0 = session-partitioned DataFrame path",
     )
     ap.add_argument(
+        "--robots",
+        default="",
+        help="parquet of RAW robots bodies (host string, robots_txt "
+        "string): candidates are gated by the parsed rules, and with "
+        "--use-crawl-delays the bodies' Crawl-delay / Request-rate "
+        "directives politely cap per-host budgets",
+    )
+    ap.add_argument(
+        "--robots-mode",
+        choices=["prefix", "rfc9309"],
+        default="prefix",
+        help="prefix = conservative disallow-only gate; rfc9309 = "
+        "longest-match with Allow overrides",
+    )
+    ap.add_argument(
+        "--use-crawl-delays",
+        action="store_true",
+        help="derive per-host budgets from the robots bodies' "
+        "Crawl-delay / Request-rate (politest wins), capped at "
+        "--budget; hosts without a directive keep --budget",
+    )
+    ap.add_argument(
+        "--round-seconds",
+        type=float,
+        default=60.0,
+        help="politeness conversion: budget = round-seconds / delay",
+    )
+    ap.add_argument(
         "--resume-from",
         type=int,
         default=-1,
@@ -77,6 +105,32 @@ def main() -> None:
         [(f"h{i}.test", args.budget) for i in range(args.hosts)],
         "host string, budget int",
     )
+    robots_rules = None
+    if args.robots:
+        from news_combinator_spark.functions.robots import (
+            allow_disallow_rules,
+            budgets_from_delays,
+            effective_delays,
+            rules_from_robots_txt,
+        )
+
+        robots_bodies = spark.read.parquet(args.robots)
+        robots_rules = (
+            allow_disallow_rules(robots_bodies)
+            if args.robots_mode == "rfc9309"
+            else rules_from_robots_txt(robots_bodies)
+        )
+        if args.use_crawl_delays:
+            delayed = budgets_from_delays(
+                effective_delays(robots_bodies),
+                round_seconds=args.round_seconds,
+                default_budget=args.budget,
+                hosts=budgets.select("host"),
+            )
+            budgets = delayed.select(
+                "host",
+                F.least("budget", F.lit(args.budget)).alias("budget"),
+            )
     web_table = None
     if args.web_buckets > 0:
         from news_combinator_spark.operators.bucketing import write_bucketed
@@ -106,6 +160,8 @@ def main() -> None:
             salt_buckets=args.salt_buckets,
             collect_lineage=True,
             web_table=web_table,
+            robots=robots_rules,
+            robots_mode=args.robots_mode,
         )
     else:
         res = crawl(
@@ -121,6 +177,8 @@ def main() -> None:
             collect_lineage=True,
             checkpoint_dir=os.path.join(args.out, "ckpt") if args.out else None,
             web_table=web_table,
+            robots=robots_rules,
+            robots_mode=args.robots_mode,
         )
     n = res.fetched.count()
     wall = time.time() - t0
