@@ -124,6 +124,7 @@ SQL_BENCH_QUERIES = [
     "request_rate_budgets",
     "meta_robots_gate",
     "hreflang_alternates",
+    "sitemap_index",
 ]
 
 

@@ -4224,6 +4224,117 @@ SQL_HREFLANG_ALTERNATES = (
 )
 
 
+def q_sitemap_index(spark, sf_dir):
+    """Nested sitemap-index resolution (sitemap.sitemap_index_entries
+    + resolve_sitemap_index): each host's index lists three fetched
+    child sitemaps (day_time%3 shards whose urlset bodies are built
+    from the pages themselves) plus one never-fetched child (drops at
+    the join); the walk yields every page URL with its lastmod and
+    owning shard. Big sites MUST shard sitemaps behind an index
+    (50k-URL protocol cap), so this is the discovery path that
+    actually matters at web scale. The oracle rebuilds the same XML
+    with string_agg and replays both parse levels in SQL."""
+    from ..functions.sitemap import resolve_sitemap_index
+
+    pages = pages_from_documents(spark, sf_dir)
+    d = (F.col("day_time") % 3).cast("string")
+    sm_loc = F.concat(F.lit("http://"), F.col("host"), F.lit("/sm/"),
+                      d, F.lit(".xml"))
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"), F.lit("</loc><lastmod>"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("</lastmod></url>"),
+    )
+    bodies = (
+        pages.select("host", sm_loc.alias("sitemap_loc"),
+                     entry.alias("e"))
+        .groupBy("host", "sitemap_loc")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.sort_array(F.collect_list("e"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    child = lambda k: F.concat(
+        F.lit("<sitemap><loc>http://"), F.col("host"),
+        F.lit(f"/sm/{k}.xml</loc><lastmod>2024-02-0"),
+        F.lit(str(k + 1)), F.lit("</lastmod></sitemap>"),
+    )
+    indexes = pages.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("<sitemapindex>"), child(0), child(1), child(2),
+            F.lit("<sitemap><loc>http://"), F.col("host"),
+            F.lit("/sm/9.xml</loc></sitemap>"),  # never fetched
+            F.lit("</sitemapindex>"),
+        ).alias("index_xml"),
+    )
+    return resolve_sitemap_index(indexes, bodies.drop("host"))
+
+
+SQL_SITEMAP_INDEX = (
+    _pages_cte()
+    + """
+    , bodies AS (
+        SELECT host,
+               'http://' || host || '/sm/'
+                   || CAST(day_time % 3 AS VARCHAR) || '.xml'
+                   AS sitemap_loc,
+               '<urlset>' || string_agg(
+                   '<url><loc>' || url || '</loc><lastmod>'
+                   || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S')
+                   || '</lastmod></url>', '' ORDER BY
+                   '<url><loc>' || url || '</loc><lastmod>'
+                   || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S')
+                   || '</lastmod></url>')
+               || '</urlset>' AS sitemap_xml
+        FROM pages GROUP BY host, sitemap_loc
+    )
+    , idx AS (
+        SELECT host,
+               '<sitemapindex>'
+               || '<sitemap><loc>http://' || host
+               || '/sm/0.xml</loc><lastmod>2024-02-01</lastmod></sitemap>'
+               || '<sitemap><loc>http://' || host
+               || '/sm/1.xml</loc><lastmod>2024-02-02</lastmod></sitemap>'
+               || '<sitemap><loc>http://' || host
+               || '/sm/2.xml</loc><lastmod>2024-02-03</lastmod></sitemap>'
+               || '<sitemap><loc>http://' || host
+               || '/sm/9.xml</loc></sitemap>'
+               || '</sitemapindex>' AS index_xml
+        FROM (SELECT DISTINCT host FROM pages)
+    )
+    , entries AS (
+        SELECT host,
+               trim(regexp_extract(e, '<loc>(.*?)</loc>', 1))
+                   AS sitemap_loc
+        FROM (SELECT host, unnest(regexp_extract_all(index_xml,
+                  '(?s)<sitemap>(.*?)</sitemap>', 1)) AS e
+              FROM idx)
+        WHERE length(trim(regexp_extract(e, '<loc>(.*?)</loc>', 1))) > 0
+    )
+    , fetched AS (
+        SELECT e.host, e.sitemap_loc, b.sitemap_xml
+        FROM entries e JOIN bodies b ON e.sitemap_loc = b.sitemap_loc
+    )
+    , blocks AS (
+        SELECT host, sitemap_loc,
+               unnest(regexp_extract_all(sitemap_xml,
+                   '(?s)<url>(.*?)</url>', 1)) AS entry
+        FROM fetched
+    )
+    SELECT host, sitemap_loc,
+           trim(regexp_extract(entry, '<loc>(.*?)</loc>', 1)) AS loc,
+           TRY_CAST(trim(regexp_extract(entry,
+               '<lastmod>(.*?)</lastmod>', 1)) AS TIMESTAMP) AS lastmod
+    FROM blocks
+    WHERE length(trim(regexp_extract(entry, '<loc>(.*?)</loc>', 1))) > 0
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4323,6 +4434,7 @@ QUERIES = {
                              SQL_REQUEST_RATE_BUDGETS),
     "meta_robots_gate": (q_meta_robots_gate, SQL_META_ROBOTS_GATE),
     "hreflang_alternates": (q_hreflang_alternates, SQL_HREFLANG_ALTERNATES),
+    "sitemap_index": (q_sitemap_index, SQL_SITEMAP_INDEX),
     "multimodal_features": (q_multimodal_features, None),
 }
 

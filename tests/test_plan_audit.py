@@ -238,7 +238,7 @@ _LAZY_QUERIES = [
     "adaptive_budgets", "canonical_consolidate", "registered_domains",
     "normalize_text", "admission_funnel", "politeness_composition",
     "content_sniff", "pq_ann", "request_rate_budgets",
-    "meta_robots_gate", "hreflang_alternates",
+    "meta_robots_gate", "hreflang_alternates", "sitemap_index",
 ]
 
 

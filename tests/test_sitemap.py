@@ -110,3 +110,56 @@ def test_discovery_channel_composition(spark):
     # fresh: lastmod after snapshot -> re-fetch; stale: dropped;
     # unknown lastmod: always re-crawlable
     assert kept == ["http://h.test/fresh", "http://h.test/unknown"]
+
+
+def test_sitemap_index_entries_and_resolution(spark):
+    """Index children without <loc> drop; unfetched children drop at
+    the join; malformed child lastmod parses null; URLs carry their
+    owning shard and host."""
+    from news_combinator_spark.functions.sitemap import (
+        resolve_sitemap_index,
+        sitemap_index_entries,
+    )
+
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://h.test/sm/a.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>"
+        "<sitemap><loc> http://h.test/sm/b.xml </loc>"
+        "<lastmod>not-a-date</lastmod></sitemap>"
+        "<sitemap><lastmod>2024-02-03</lastmod></sitemap>"  # no loc
+        "<sitemap><loc>http://h.test/sm/missing.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    indexes = spark.createDataFrame(
+        [("h.test", idx)], "host string, index_xml string"
+    )
+    ents = {
+        r.sitemap_loc: r.index_lastmod
+        for r in sitemap_index_entries(indexes).collect()
+    }
+    assert set(ents) == {
+        "http://h.test/sm/a.xml", "http://h.test/sm/b.xml",
+        "http://h.test/sm/missing.xml",
+    }
+    assert ents["http://h.test/sm/a.xml"] is not None
+    assert ents["http://h.test/sm/b.xml"] is None  # malformed lastmod
+
+    bodies = spark.createDataFrame(
+        [
+            ("http://h.test/sm/a.xml",
+             "<urlset><url><loc>http://h.test/1</loc>"
+             "<lastmod>2024-01-05T00:00:00</lastmod></url></urlset>"),
+            ("http://h.test/sm/b.xml",
+             "<urlset><url><loc>http://h.test/2</loc></url></urlset>"),
+        ],
+        "sitemap_loc string, sitemap_xml string",
+    )
+    got = {
+        (r.host, r.sitemap_loc, r.loc, r.lastmod is None)
+        for r in resolve_sitemap_index(indexes, bodies).collect()
+    }
+    assert got == {
+        ("h.test", "http://h.test/sm/a.xml", "http://h.test/1", False),
+        ("h.test", "http://h.test/sm/b.xml", "http://h.test/2", True),
+    }
