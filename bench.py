@@ -125,6 +125,7 @@ SQL_BENCH_QUERIES = [
     "meta_robots_gate",
     "hreflang_alternates",
     "sitemap_index",
+    "etag_gate",
 ]
 
 

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["latest_asof", "asof_join", "snapshot_diff", "recrawl_priority"]
+__all__ = ["latest_asof", "asof_join", "snapshot_diff", "recrawl_priority",
+           "etag_candidates"]
 
 
 def latest_asof(
@@ -218,3 +219,38 @@ def modified_candidates(
         | (F.col(lastmod_col) > F.col("_stored_ts"))
     )
     return joined.filter(keep).drop("_stored_ts")
+
+
+def etag_candidates(
+    candidates: DataFrame,
+    store: DataFrame,
+    key: str = "url",
+    etag_col: str = "etag",
+    store_ts_col: str = "snap_ts",
+) -> DataFrame:
+    """Conditional-fetch gate #2: If-None-Match over the page store.
+
+    Drop a re-crawl candidate when its advertised validator equals
+    the etag of the store's LATEST snapshot of that url — a 304 is
+    certain, so the fetch slot is wasted. Kept: never-stored urls,
+    candidates with no etag, stored rows with no etag, and genuinely
+    different validators. Complements `modified_candidates`
+    (If-Modified-Since): etags catch content changes that don't move
+    timestamps and vice versa; run both gates and a candidate
+    survives only if BOTH say it might have changed.
+
+    Scale shape mirrors modified_candidates: the store reduces to
+    one (key, latest etag) row via max_by before the equi-join.
+    """
+    latest = store.groupBy(key).agg(
+        F.max_by(etag_col, F.col(store_ts_col)).alias("_stored_etag"),
+        F.max(store_ts_col).alias("_seen"),
+    )
+    joined = candidates.join(latest, key, "left")
+    keep = (
+        F.col("_seen").isNull()
+        | F.col(etag_col).isNull()
+        | F.col("_stored_etag").isNull()
+        | (F.col(etag_col) != F.col("_stored_etag"))
+    )
+    return joined.filter(keep).drop("_stored_etag", "_seen")

@@ -4335,6 +4335,77 @@ SQL_SITEMAP_INDEX = (
 )
 
 
+def q_etag_gate(spark, sf_dir):
+    """If-None-Match gating (snapshots.etag_candidates): the store
+    holds 1 + doc_id%3 snapshots per stored url (doc_id%4==0 never
+    stored) with etag = md5(url || version), except doc_id%10==3
+    rows stored without an etag; candidates advertise the latest
+    stored etag (doc_id%5==1 -> certain 304, dropped), no etag
+    (doc_id%10==7 -> kept), or a different validator (kept). Every
+    keep/drop class is populated. The oracle replays the
+    latest-snapshot reduce and the four-way null logic in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    stored = pages.filter(F.col("doc_id") % 4 != 0)
+    store = stored.select(
+        "url", "doc_id", "warc_ts",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+    ).select(
+        "url",
+        F.timestamp_add("MINUTE", F.col("v") * 90, F.col("warc_ts"))
+        .alias("snap_ts"),
+        F.when(
+            F.col("doc_id") % 10 != 3,
+            F.md5(F.concat("url", F.col("v").cast("string"))),
+        ).alias("etag"),
+    )
+    cand = pages.select(
+        "url",
+        F.when(F.col("doc_id") % 10 == 7, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.md5(F.concat("url", (F.col("doc_id") % 3).cast("string"))),
+        )
+        .otherwise(F.md5(F.concat("url", F.lit("x"))))
+        .alias("etag"),
+    )
+    return snap_ops.etag_candidates(cand, store)
+
+
+SQL_ETAG_GATE = (
+    _pages_cte()
+    + """
+    , store AS (
+        SELECT url,
+               warc_ts + g.v * INTERVAL 90 MINUTE AS snap_ts,
+               CASE WHEN doc_id % 10 <> 3
+                    THEN md5(url || CAST(g.v AS VARCHAR)) END AS etag
+        FROM pages,
+             LATERAL (SELECT unnest(generate_series(0,
+                 CAST(doc_id % 3 AS INT))) AS v) g
+        WHERE doc_id % 4 <> 0
+    )
+    , latest AS (
+        SELECT url, arg_max(etag, snap_ts) AS se, max(snap_ts) AS seen
+        FROM store GROUP BY url
+    )
+    , cand AS (
+        SELECT url,
+               CASE WHEN doc_id % 10 = 7 THEN NULL
+                    WHEN doc_id % 5 = 1
+                        THEN md5(url || CAST(doc_id % 3 AS VARCHAR))
+                    ELSE md5(url || 'x') END AS etag
+        FROM pages
+    )
+    SELECT c.url, c.etag
+    FROM cand c LEFT JOIN latest l ON c.url = l.url
+    WHERE l.seen IS NULL OR c.etag IS NULL OR l.se IS NULL
+       OR c.etag <> l.se
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4435,6 +4506,7 @@ QUERIES = {
     "meta_robots_gate": (q_meta_robots_gate, SQL_META_ROBOTS_GATE),
     "hreflang_alternates": (q_hreflang_alternates, SQL_HREFLANG_ALTERNATES),
     "sitemap_index": (q_sitemap_index, SQL_SITEMAP_INDEX),
+    "etag_gate": (q_etag_gate, SQL_ETAG_GATE),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -277,3 +277,32 @@ def test_modified_candidates_gate(spark):
         for r in modified_candidates(cand, store).collect()
     }
     assert kept == {("u:new", 50.0), ("u:a", None), ("u:a", 250.0)}
+
+
+def test_etag_candidates_null_logic(spark):
+    """Certain-304 drops; never-stored, candidate-null, stored-null,
+    and changed validators keep; only the LATEST snapshot's etag
+    governs (an older matching etag must not drop)."""
+    from news_combinator_spark.operators.snapshots import etag_candidates
+
+    store = spark.createDataFrame(
+        [
+            ("u_same", 1, "e1"), ("u_same", 2, "e2"),
+            ("u_old_match", 1, "eX"), ("u_old_match", 2, "e2"),
+            ("u_nullstore", 1, None),
+            ("u_diff", 1, "e9"),
+        ],
+        "url string, snap_ts int, etag string",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("u_same", "e2"),        # equals latest -> drop
+            ("u_old_match", "eX"),   # equals an OLD etag -> keep
+            ("u_nullstore", "e1"),   # stored etag null -> keep
+            ("u_diff", None),        # candidate null -> keep
+            ("u_new", "e1"),         # never stored -> keep
+        ],
+        "url string, etag string",
+    )
+    kept = {r.url for r in etag_candidates(cand, store).collect()}
+    assert kept == {"u_old_match", "u_nullstore", "u_diff", "u_new"}
