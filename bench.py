@@ -126,6 +126,7 @@ SQL_BENCH_QUERIES = [
     "hreflang_alternates",
     "sitemap_index",
     "etag_gate",
+    "wet_export",
 ]
 
 

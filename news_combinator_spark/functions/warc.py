@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["records_from_warc"]
+__all__ = ["records_from_warc", "wet_records", "wet_blob"]
 
 
 def records_from_warc(
@@ -72,4 +72,63 @@ def records_from_warc(
             " 1, try_cast(regexp_extract(rec, 'Content-Length: ([0-9]+)',"
             " 1) AS int)) END"
         ).alias("payload"),
+    )
+
+
+def wet_records(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Serialize extracted text as WET-style ``conversion`` records —
+    the derived-text distribution format Common Crawl publishes
+    alongside WARC, and what a training pipeline hands downstream
+    after extraction. Output: input columns + ``wet_record``.
+
+    Envelope: WARC/1.0 version line, WARC-Type: conversion,
+    WARC-Target-URI, WARC-Date (UTC ISO-8601), Content-Length, blank
+    line, payload. Two documented conventions shared with
+    `records_from_warc` so serialize -> parse round-trips exactly
+    (pinned in tests): lengths count CHARACTERS (equals spec bytes
+    for ASCII envelopes), and line endings are LF (the parser
+    segments on LF; spec-exact CRLF output would swap the separator
+    constants, same shape)."""
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\nWARC-Date: "),
+        F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\nContent-Length: "),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("string"),
+        F.lit("\n\n"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    return df.withColumn("wet_record", rec)
+
+
+def wet_blob(
+    records: DataFrame,
+    shard_col: str = "host",
+    record_col: str = "wet_record",
+    order_col: str = "url",
+) -> DataFrame:
+    """Concatenate a shard's WET records into one file blob:
+    (shard, wet, n_records), records in deterministic `order_col`
+    order separated by a blank line (the WARC record separator).
+    One map-side-combined groupBy per shard; shard sizing is the
+    caller's partitioning decision (a real export writes one file
+    per task via write_training_shards' machinery)."""
+    return (
+        records.groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.expr(
+                    "transform(sort_array(collect_list(struct("
+                    f"{order_col} as k, {record_col} as r))), p -> p.r)"
+                ),
+            ).alias("wet"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
     )

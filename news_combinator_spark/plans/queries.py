@@ -4406,6 +4406,57 @@ SQL_ETAG_GATE = (
 )
 
 
+def q_wet_export(spark, sf_dir):
+    """WET serialization (warc.wet_records + wet_blob): every page's
+    extracted text becomes a WARC/1.0 conversion record, then each
+    host's records concatenate into one deterministic file blob —
+    the derived-text export format public crawls distribute. Output
+    is per-shard (host, n_records, wet_chars, wet_fp) so the hash
+    gate pins the exact serialized bytes of each shard. Round-trip
+    through records_from_warc is pinned by pytest."""
+    pages = pages_from_documents(spark, sf_dir)
+    recs = wc.wet_records(pages.select("url", "host", "text", "warc_ts"))
+    blobs = wc.wet_blob(recs)
+    return blobs.select(
+        F.col("shard").alias("host"),
+        "n_records",
+        F.length("wet").cast("long").alias("wet_chars"),
+        F.md5("wet").alias("wet_fp"),
+    )
+
+
+SQL_WET_EXPORT = (
+    _pages_cte()
+    + r"""
+    , recs AS (
+        SELECT host, url,
+               'WARC/1.0' || chr(10)
+               || 'WARC-Type: conversion' || chr(10)
+               || 'WARC-Target-URI: ' || url || chr(10)
+               || 'WARC-Date: '
+               || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')
+               || chr(10)
+               || 'Content-Length: '
+               || CAST(length(coalesce(text, '')) AS VARCHAR)
+               || chr(10) || chr(10)
+               || coalesce(text, '') AS wet_record
+        FROM pages
+    )
+    , blobs AS (
+        SELECT host,
+               string_agg(wet_record, chr(10) || chr(10)
+                   ORDER BY url) AS wet,
+               count(*) AS n_records
+        FROM recs GROUP BY host
+    )
+    SELECT host, n_records,
+           CAST(length(wet) AS BIGINT) AS wet_chars,
+           md5(wet) AS wet_fp
+    FROM blobs
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4507,6 +4558,7 @@ QUERIES = {
     "hreflang_alternates": (q_hreflang_alternates, SQL_HREFLANG_ALTERNATES),
     "sitemap_index": (q_sitemap_index, SQL_SITEMAP_INDEX),
     "etag_gate": (q_etag_gate, SQL_ETAG_GATE),
+    "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "multimodal_features": (q_multimodal_features, None),
 }
 
