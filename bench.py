@@ -127,6 +127,7 @@ SQL_BENCH_QUERIES = [
     "sitemap_index",
     "etag_gate",
     "wet_export",
+    "shard_manifest",
 ]
 
 

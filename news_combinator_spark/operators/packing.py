@@ -107,3 +107,62 @@ def write_training_shards(
         .save(path)
     )
     return int(n_shards)
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_records: int,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    token_col: str | None = None,
+    digest_cols: list[str] | None = None,
+) -> DataFrame:
+    """Integrity manifest for a sharded training export: one row per
+    shard with (shard, n_rows, first_rank, last_rank, content_xor
+    [, n_tokens]) — what a training loader checks before trusting a
+    multi-terabyte export (row counts catch truncation, the rank
+    range pins the reproducible total order, the checksum catches
+    content substitution).
+
+    ``content_xor`` is the bit-XOR of a 52-bit md5-derived digest of
+    ``digest_cols`` (default: the order columns) per row —
+    order-insensitive by construction, which is exactly right here:
+    order integrity is already pinned by (first_rank, last_rank)
+    under the total-order guarantee, so the checksum can use a
+    commutative reduction that map-side combines instead of a
+    per-shard collect_list. Shard assignment reuses the same
+    two-level prefix-sum rank as `write_training_shards`, so the
+    manifest matches the files byte-for-byte row placement."""
+    from pyspark.sql import functions as F
+
+    from .ranking import partitioned_global_rank
+
+    group_cols = group_cols or [order_cols[0]]
+    within = [c for c in order_cols if c not in group_cols] or order_cols
+    ranked = partitioned_global_rank(
+        df, part_cols=group_cols, order_cols=within, out_col="_rank"
+    )
+    dcols = digest_cols or order_cols
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in dcols])),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    shard = F.floor((F.col("_rank") - 1) / shard_records).cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_rank").alias("first_rank"),
+        F.max("_rank").alias("last_rank"),
+        F.expr("bit_xor(_d)").alias("content_xor"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return (
+        ranked.withColumn("_d", digest)
+        .groupBy(shard.alias("shard"))
+        .agg(*aggs)
+    )

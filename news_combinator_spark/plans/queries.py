@@ -4457,6 +4457,54 @@ SQL_WET_EXPORT = (
 )
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Training-export integrity manifest (packing.shard_manifest):
+    documents shard into 64-record chunks of the doc_id total order;
+    each shard reports row count, rank range, whitespace-token sum,
+    and an order-insensitive 52-bit md5-XOR content checksum over
+    (doc_id, md5(text)) — the loader-side verification record for a
+    multi-terabyte export. The Spark side ranks via the two-level
+    prefix sum (no global window); the oracle uses a plain
+    row_number and replays digest, XOR, and sums in SQL."""
+    from ..operators.packing import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("text_fp"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return shard_manifest(
+        docs,
+        shard_records=64,
+        order_cols=["doc_id"],
+        token_col="n_tok",
+        digest_cols=["doc_id", "text_fp"],
+    )
+
+
+SQL_SHARD_MANIFEST = """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS text_fp,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tok,
+               row_number() OVER (ORDER BY doc_id) AS rnk
+        FROM documents
+    )
+    , g AS (
+        SELECT CAST(floor((rnk - 1) / 64) AS INT) AS shard,
+               rnk, n_tok,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || text_fp), 1, 13))::BIGINT AS dg
+        FROM d
+    )
+    SELECT shard, count(*) AS n_rows,
+           min(rnk) AS first_rank, max(rnk) AS last_rank,
+           bit_xor(dg) AS content_xor,
+           sum(n_tok) AS n_tokens
+    FROM g GROUP BY shard
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4559,6 +4607,7 @@ QUERIES = {
     "sitemap_index": (q_sitemap_index, SQL_SITEMAP_INDEX),
     "etag_gate": (q_etag_gate, SQL_ETAG_GATE),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
+    "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -112,3 +112,65 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     a = sorted((r.shard, r.grp, r.doc_id) for r in back.collect())
     b = sorted((r.shard, r.grp, r.doc_id) for r in back2.collect())
     assert n2 == n and a == b
+
+
+def test_shard_manifest_matches_written_files(spark, tmp_path):
+    """The manifest computed from the PLAN equals one recomputed from
+    the FILES write_training_shards produced — counts, rank ranges,
+    token sums, and the XOR checksum all agree; tampering with one
+    row's content flips exactly that shard's checksum."""
+    from pyspark.sql import functions as F
+
+    from news_combinator_spark.operators.packing import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 95).selectExpr(
+        "concat('g', cast(id % 7 as string)) AS grp",
+        "id AS doc_id",
+        "concat('text-', cast(id as string)) AS payload",
+        "cast(id % 5 + 1 as long) AS n_tok",
+    )
+    out = tmp_path / "shards"
+    write_training_shards(
+        df, str(out), shard_records=10, order_cols=["grp", "doc_id"],
+        group_cols=["grp"],
+    )
+    man = shard_manifest(
+        df, 10, order_cols=["grp", "doc_id"], group_cols=["grp"],
+        token_col="n_tok", digest_cols=["doc_id", "payload"],
+    ).toPandas().set_index("shard").sort_index()
+
+    back = spark.read.parquet(str(out))
+    dg = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              "payload")), 1, 13), 16, 10
+    ).cast("long")
+    from_files = (
+        back.withColumn("_d", dg)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.expr("bit_xor(_d)").alias("content_xor"),
+             F.sum("n_tok").alias("n_tokens"))
+        .toPandas().set_index("shard").sort_index()
+    )
+    assert list(man.n_rows) == list(from_files.n_rows)
+    assert list(man.content_xor) == list(from_files.content_xor)
+    assert list(man.n_tokens) == list(from_files.n_tokens)
+    assert (man.last_rank - man.first_rank + 1 == man.n_rows).all()
+
+    tampered = df.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 42, F.lit("EVIL")).otherwise(
+            F.col("payload")
+        ),
+    )
+    man2 = shard_manifest(
+        tampered, 10, order_cols=["grp", "doc_id"], group_cols=["grp"],
+        token_col="n_tok", digest_cols=["doc_id", "payload"],
+    ).toPandas().set_index("shard").sort_index()
+    diff = (man.content_xor != man2.content_xor).sum()
+    assert diff == 1  # exactly the shard holding doc 42
+    assert list(man.n_rows) == list(man2.n_rows)
