@@ -128,6 +128,7 @@ SQL_BENCH_QUERIES = [
     "etag_gate",
     "wet_export",
     "shard_manifest",
+    "ip_politeness",
 ]
 
 

@@ -208,6 +208,50 @@ def adaptive_budgets(
     )
 
 
+def ip_budgets(
+    host_ips: DataFrame,
+    ip_budget: int,
+    host_budgets: DataFrame | None = None,
+    min_budget: int = 1,
+) -> DataFrame:
+    """Per-IP politeness: virtual hosting puts many hosts on one
+    server, so per-HOST budgets alone can hammer a box with the sum
+    of its vhosts' budgets. Given (host, ip), split each IP's budget
+    evenly across its hosts — budget = max(min_budget,
+    floor(ip_budget / n_hosts_on_ip)) — and, when `host_budgets`
+    (host, budget) is provided, take the politer of the two. Output
+    (host, budget) feeds `schedule_per_host` unchanged.
+
+    Even splitting is deliberate: a starving-free static allocation
+    whose per-round fairness the scheduler's (priority, url) order
+    then arbitrates; demand-weighted splits would need the frontier's
+    per-host counts and re-plan every round — composable later via
+    `apply_priority_boosts` if a deployment wants it. One
+    groupBy(ip) over the host->ip map (tiny: one row per host), one
+    broadcast-sized join back.
+    """
+    per_ip = host_ips.groupBy("ip").agg(
+        F.count(F.lit(1)).alias("_n_hosts")
+    )
+    split = host_ips.join(F.broadcast(per_ip), "ip").select(
+        "host",
+        F.greatest(
+            F.lit(min_budget),
+            F.floor(F.lit(ip_budget) / F.col("_n_hosts")),
+        ).cast("int").alias("budget"),
+    )
+    if host_budgets is None:
+        return split
+    return (
+        split.withColumnRenamed("budget", "_ip_b")
+        .join(host_budgets.withColumnRenamed("budget", "_h_b"), "host")
+        .select(
+            "host",
+            F.least("_ip_b", "_h_b").cast("int").alias("budget"),
+        )
+    )
+
+
 def apply_robots_longest_match(
     candidates: DataFrame, rules: DataFrame | None
 ) -> DataFrame:

@@ -4505,6 +4505,50 @@ SQL_SHARD_MANIFEST = """
 """
 
 
+def q_ip_politeness(spark, sf_dir):
+    """Per-IP budget splitting (frontier.ip_budgets): hosts map onto
+    two IPs (hn%2 — virtual hosting), each IP's budget of 10 splits
+    evenly across its vhosts, then composes politely (least) with
+    per-host budgets that win on one host and lose on another. The
+    oracle replays the per-IP count, split, floor, and least in
+    SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    host_ips = pages.select("host").distinct().select(
+        "host",
+        F.concat(F.lit("10.0.0."), (hn % 2).cast("string")).alias("ip"),
+    )
+    host_budgets = pages.select("host").distinct().select(
+        "host", (F.lit(2) + hn * 2).cast("int").alias("budget")
+    )
+    return fr.ip_budgets(
+        host_ips, ip_budget=10, host_budgets=host_budgets
+    )
+
+
+SQL_IP_POLITENESS = (
+    _pages_cte()
+    + r"""
+    , hosts AS (
+        SELECT DISTINCT host,
+               CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) AS hn
+        FROM pages
+    )
+    , hip AS (
+        SELECT host, hn,
+               '10.0.0.' || CAST(hn % 2 AS VARCHAR) AS ip
+        FROM hosts
+    )
+    , per_ip AS (SELECT ip, count(*) AS n FROM hip GROUP BY ip)
+    SELECT h.host,
+           least(
+               CAST(greatest(1, floor(10.0 / p.n)) AS INT),
+               CAST(2 + h.hn * 2 AS INT)) AS budget
+    FROM hip h JOIN per_ip p ON h.ip = p.ip
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4608,6 +4652,7 @@ QUERIES = {
     "etag_gate": (q_etag_gate, SQL_ETAG_GATE),
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
+    "ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

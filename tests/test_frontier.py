@@ -499,3 +499,31 @@ def test_crawl_rfc9309_mode_allow_reopens(spark):
 
     with pytest.raises(ValueError, match="robots_mode"):
         crawl(spark, pages, seeds, budgets, robots_mode="bogus")
+
+
+def test_ip_budgets_split_and_compose(spark):
+    """One IP with 5 vhosts splits 10 -> 2 each; a crowded IP (20
+    vhosts) floors at min_budget; a lone host keeps the whole IP
+    budget; composition with host budgets takes the politer side."""
+    from news_combinator_spark.operators.frontier import ip_budgets
+
+    rows = (
+        [(f"v{i}.test", "1.1.1.1") for i in range(5)]
+        + [(f"c{i}.test", "2.2.2.2") for i in range(20)]
+        + [("solo.test", "3.3.3.3")]
+    )
+    host_ips = spark.createDataFrame(rows, "host string, ip string")
+    got = {r.host: r.budget for r in ip_budgets(host_ips, 10).collect()}
+    assert got["v0.test"] == 2 and got["v4.test"] == 2
+    assert got["c0.test"] == 1          # floor(10/20)=0 -> min 1
+    assert got["solo.test"] == 10
+    hb = spark.createDataFrame(
+        [("v0.test", 1), ("solo.test", 99), ("c0.test", 7)],
+        "host string, budget int",
+    )
+    comp = {
+        r.host: r.budget
+        for r in ip_budgets(host_ips, 10, host_budgets=hb).collect()
+    }
+    # composition returns only hosts present in both frames
+    assert comp == {"v0.test": 1, "solo.test": 10, "c0.test": 1}

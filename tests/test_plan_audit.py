@@ -239,7 +239,7 @@ _LAZY_QUERIES = [
     "normalize_text", "admission_funnel", "politeness_composition",
     "content_sniff", "pq_ann", "request_rate_budgets",
     "meta_robots_gate", "hreflang_alternates", "sitemap_index",
-    "etag_gate", "wet_export", "shard_manifest",
+    "etag_gate", "wet_export", "shard_manifest", "ip_politeness",
 ]
 
 
