@@ -102,7 +102,11 @@ _FOLD_ROUND_CHECKPOINTS = True
 
 
 def schedule_per_host(
-    frontier: DataFrame, budgets: DataFrame, salt_buckets: int = 0
+    frontier: DataFrame,
+    budgets: DataFrame,
+    salt_buckets: int = 0,
+    wait_col: str | None = None,
+    aging_every: int = 2,
 ) -> DataFrame:
     """Politeness: keep at most `budget` URLs per host this round,
     chosen by (priority, url). Returns frontier columns + `taken` flag.
@@ -111,7 +115,29 @@ def schedule_per_host(
     (host, salt) so the final per-host window only sees
     budget*salt_buckets rows per host — O(1) per hot host instead of
     its entire frontier share.
+
+    With `wait_col` (an int column counting rounds the row has sat
+    unscheduled), selection orders by AGED priority instead:
+    (priority - wait // aging_every, -wait, url). Every
+    `aging_every` unscheduled rounds promote a row one priority
+    class, and within a class the longest-waiting row wins — so no
+    URL starves behind an endless stream of fresh higher-priority
+    discoveries (wait grows monotonically while newcomers start at
+    0; the maximum-wait row's key strictly improves every round
+    until it is the host's first pick). The caller maintains the
+    counter (`crawl(aging_every=...)` does).
     """
+    if wait_col is not None:
+        order = [
+            (
+                F.col("priority")
+                - (F.col(wait_col) / F.lit(aging_every)).cast("int")
+            ).alias("_eff"),
+            F.col(wait_col).desc(),
+            F.col("url"),
+        ]
+    else:
+        order = [F.col("priority"), F.col("url")]
     df = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(1))
     )
@@ -119,7 +145,7 @@ def schedule_per_host(
         salted = df.withColumn(
             "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
         )
-        w_local = Window.partitionBy("host", "salt").orderBy("priority", "url")
+        w_local = Window.partitionBy("host", "salt").orderBy(*order)
         survivors = (
             salted.withColumn("lrn", F.row_number().over(w_local))
             .filter(F.col("lrn") <= F.col("budget"))
@@ -128,14 +154,14 @@ def schedule_per_host(
         rest = salted.join(survivors.select("url"), "url", "left_anti").drop(
             "salt"
         )
-        w = Window.partitionBy("host").orderBy("priority", "url")
+        w = Window.partitionBy("host").orderBy(*order)
         top = survivors.withColumn("rn", F.row_number().over(w)).withColumn(
             "taken", F.col("rn") <= F.col("budget")
         )
         return top.drop("rn", "budget").unionByName(
             rest.withColumn("taken", F.lit(False)).drop("budget")
         )
-    w = Window.partitionBy("host").orderBy("priority", "url")
+    w = Window.partitionBy("host").orderBy(*order)
     return (
         df.withColumn("rn", F.row_number().over(w))
         .withColumn("taken", F.col("rn") <= F.col("budget"))
@@ -402,6 +428,7 @@ def crawl(
     fetch_order_base: int = 0,
     web_table: str | None = None,
     robots_mode: str = "prefix",
+    aging_every: int = 0,
 ) -> CrawlResult:
     """Run `rounds` micro-rounds; return every fetched URL with its
     round and the deterministic global fetch_order.
@@ -441,6 +468,12 @@ def crawl(
       (host, path_prefix, allow) rows from
       `functions/robots.allow_disallow_rules`. The default 'prefix'
       mode is the oracle-pinned conservative gate.
+    - `aging_every > 0` turns on starvation-free scheduling: frontier
+      rows carry a `wait` counter and the per-host selection orders
+      by aged priority (see `schedule_per_host`); the counter rides
+      checkpoints, so a resumed aging crawl replays exactly. OFF by
+      default because aging deliberately diverges from the
+      oracle-pinned (priority, url) crawl order.
     """
     if start_round >= rounds:
         raise ValueError(
@@ -479,13 +512,27 @@ def crawl(
             spark.sparkContext.defaultParallelism, "url"
         ).persist()
 
+    # aging_every > 0: frontier rows carry a `wait` counter (rounds
+    # sat unscheduled) and the scheduler orders by aged priority —
+    # starvation-free, at the DOCUMENTED cost of diverging from the
+    # default mode's oracle-pinned (priority, url) crawl order
+    fcols = FRONTIER_COLS + (["wait"] if aging_every > 0 else [])
+
+    def _with_wait(df: DataFrame) -> DataFrame:
+        if aging_every > 0 and "wait" not in df.columns:
+            return df.withColumn("wait", F.lit(0))
+        return df
+
     if initial_frontier is not None:
-        frontier = initial_frontier.select(*FRONTIER_COLS).localCheckpoint()
+        _have = [c for c in fcols if c in initial_frontier.columns]
+        frontier = _with_wait(initial_frontier.select(*_have)) \
+            .select(*fcols).localCheckpoint()
         init_seen = (
             initial_seen if initial_seen is not None else frontier
         ).select("url").localCheckpoint()
     else:
-        frontier = seeds.select(*FRONTIER_COLS).localCheckpoint()
+        frontier = _with_wait(seeds.select(*FRONTIER_COLS)) \
+            .select(*fcols).localCheckpoint()
         init_seen = frontier.select("url")
     # seen is kept as a list of already-materialized deltas; unioning
     # lazily for the anti-join avoids rewriting the (growing) full set
@@ -515,9 +562,15 @@ def crawl(
 
     for r in range(start_round, rounds):
         metrics = RoundMetrics(round=r)
-        sched = schedule_per_host(frontier, budgets, salt_buckets).persist()
+        sched = schedule_per_host(
+            frontier, budgets, salt_buckets,
+            wait_col="wait" if aging_every > 0 else None,
+            aging_every=aging_every if aging_every > 0 else 2,
+        ).persist()
         taken = sched.filter("taken").drop("taken")
         deferred = sched.filter("NOT taken").drop("taken")
+        if aging_every > 0:
+            deferred = deferred.withColumn("wait", F.col("wait") + 1)
 
         # shuffle-hash join: the scheduled batch (bounded by sum of
         # budgets) shuffles and becomes the hash side; the persisted
@@ -596,10 +649,10 @@ def crawl(
             # cluster it's one fewer job submission per round.
             if _FOLD_ROUND_CHECKPOINTS:
                 combined = (
-                    deferred.select(*FRONTIER_COLS)
+                    deferred.select(*fcols)
                     .withColumn("is_new", F.lit(False))
                     .unionByName(
-                        new.select(*FRONTIER_COLS).withColumn(
+                        _with_wait(new.select(*FRONTIER_COLS)).withColumn(
                             "is_new", F.lit(True)
                         )
                     )
@@ -608,8 +661,10 @@ def crawl(
                 frontier = combined.drop("is_new")
                 new = combined.filter("is_new").drop("is_new")
             else:  # pre-fold shape, kept for A/B measurement
-                new = new.select(*FRONTIER_COLS).localCheckpoint()
-                frontier = deferred.select(*FRONTIER_COLS).unionByName(
+                new = _with_wait(
+                    new.select(*FRONTIER_COLS)
+                ).localCheckpoint()
+                frontier = deferred.select(*fcols).unionByName(
                     new
                 ).localCheckpoint()
             if collect_lineage:

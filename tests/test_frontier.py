@@ -527,3 +527,64 @@ def test_ip_budgets_split_and_compose(spark):
     }
     # composition returns only hosts present in both frames
     assert comp == {"v0.test": 1, "solo.test": 10, "c0.test": 1}
+
+
+def test_priority_aging_prevents_starvation(spark):
+    """Without aging, a priority-2 URL starves forever behind one
+    fresh priority-0 arrival per round (budget 1). With wait_col
+    aging (promote every 2 unscheduled rounds, longest wait first),
+    it is fetched within priority*aging_every + O(1) rounds."""
+    budgets = spark.createDataFrame(
+        [("h.test", 1)], "host string, budget int"
+    )
+
+    def run(rounds, aging):
+        frontier = [("http://h.test/zzz", "h.test", 2, 0)]
+        fetched = []
+        for r in range(rounds):
+            # one fresh prio-0 discovery per round, alphabetically early
+            frontier.append((f"http://h.test/a{r:02d}", "h.test", 0, 0))
+            df = spark.createDataFrame(
+                frontier,
+                "url string, host string, priority int, wait int",
+            )
+            out = schedule_per_host(
+                df, budgets, wait_col="wait" if aging else None
+            ).collect()
+            taken = {row.url for row in out if row.taken}
+            fetched.extend(taken)
+            frontier = [
+                (row.url, row.host, row.priority, row.wait + 1)
+                for row in out
+                if not row.taken
+            ]
+        return fetched
+
+    no_aging = run(8, aging=False)
+    assert "http://h.test/zzz" not in no_aging  # starves
+    aged = run(8, aging=True)
+    assert "http://h.test/zzz" in aged
+    # promoted after ~priority*aging_every rounds, not at the very end
+    assert aged.index("http://h.test/zzz") <= 5
+
+
+def test_crawl_aging_mode_runs_and_differs_only_in_order(spark):
+    """crawl(aging_every=1): same seeds fetch in round 0, every
+    politeness budget still holds, no url fetches twice — aging only
+    re-orders WITHIN a host's deferred competition, it never violates
+    the budget or dedup invariants."""
+    pages = pages_from_documents(spark, SF_SMALL)
+    res = crawl(
+        spark, pages, seeds_df(spark, pages), budgets_df(spark),
+        rounds=CRAWL_ROUNDS, aging_every=1, collect_lineage=False,
+    )
+    got = res.fetched.toPandas()
+    assert got.url.is_unique
+    per = got.groupby(["round", "host"]).size()
+    for (rnd, host), cnt in per.items():
+        cap = 2 if host == "h0.test" else 3
+        assert cnt <= cap
+    r0 = set(got[got["round"] == 0].url)
+    assert r0 == set(
+        seeds_df(spark, pages).toPandas().url
+    ) or r0 <= set(seeds_df(spark, pages).toPandas().url)
