@@ -129,6 +129,7 @@ SQL_BENCH_QUERIES = [
     "wet_export",
     "shard_manifest",
     "ip_politeness",
+    "mirror_hosts",
 ]
 
 

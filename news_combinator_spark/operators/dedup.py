@@ -603,3 +603,50 @@ def canonical_consolidate(
         F.min_by("url", key).alias("kept_url"),
         F.count(F.lit(1)).alias("n_variants"),
     )
+
+
+def mirror_hosts(
+    fps: DataFrame,
+    threshold: float = 0.5,
+    host_col: str = "host",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Host pairs serving largely the same CONTENT — mirrors a crawl
+    should collapse onto one member (and training dedup would
+    otherwise rediscover document by document). Input: one row per
+    (host, content fingerprint); output: (host_a, host_b, n_shared,
+    jaccard) for pairs whose fingerprint-set Jaccard >= threshold,
+    host_a < host_b.
+
+    Scale shape: the only join is fp = fp (content-blocked — a pair
+    of hosts meets once per SHARED document, so a true mirror costs
+    its shared-doc count and unrelated hosts cost ~0), followed by
+    map-side-combined counts; there is never an all-pairs host
+    comparison, and per-host set sizes come from one aggregate."""
+    f = fps.select(
+        F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+    ).distinct()
+    sizes = f.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        f.alias("a")
+        .join(f.alias("b"),
+              (F.col("a.fp") == F.col("b.fp"))
+              & (F.col("a.host") < F.col("b.host")))
+        .groupBy(
+            F.col("a.host").alias("host_a"),
+            F.col("b.host").alias("host_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed("host", "host_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("host", "host_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .filter(jac >= F.lit(threshold))
+        .select(
+            "host_a", "host_b", "n_shared",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

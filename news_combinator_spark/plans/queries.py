@@ -4549,6 +4549,64 @@ SQL_IP_POLITENESS = (
 )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/dedup.mirror_hosts): hosts
+    serving largely the same content should be crawled once — the
+    fixture makes h2.test a PARTIAL mirror of h0.test (h2 docs with
+    doc_id%3 != 0 carry the text of the h0 doc two ids below; the
+    rest stay original), so (h0, h2) lands at Jaccard ~0.5 — above
+    the 0.4 threshold but far from the degenerate 1.0 — while every
+    other pair stays 0.
+    Host-level Jaccard = shared distinct text fingerprints /
+    union — computed from one fp equi-join plus per-host counts,
+    never an all-pairs host comparison. The oracle replays fp
+    derivation, the shared-fp join, and the Jaccard in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    fx = pages.select(
+        "host",
+        F.when(
+            (F.col("doc_id") % 4 == 2) & (F.col("doc_id") % 3 != 0),
+            F.md5(F.concat(F.lit("mirror:"),
+                           (F.col("doc_id") - 2).cast("string"))),
+        )
+        .otherwise(
+            F.md5(F.concat(F.lit("mirror:"), F.col("doc_id").cast("string")))
+        )
+        .alias("fp"),
+    )
+    # make h0's fps the mirror source: h0 docs are doc_id%4==0, and
+    # h2 docs (%4==2) point at doc_id-2 (%4==0) -> same fp values
+    return dd.mirror_hosts(fx, threshold=0.4)
+
+
+SQL_MIRROR_HOSTS = (
+    _pages_cte()
+    + """
+    , fps AS (
+        SELECT DISTINCT host,
+               CASE WHEN doc_id % 4 = 2 AND doc_id % 3 <> 0
+                    THEN md5('mirror:' || CAST(doc_id - 2 AS VARCHAR))
+                    ELSE md5('mirror:' || CAST(doc_id AS VARCHAR)) END
+                   AS fp
+        FROM pages
+    )
+    , sizes AS (SELECT host, count(*) AS n FROM fps GROUP BY host)
+    , shared AS (
+        SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.host < b.host
+        GROUP BY a.host, b.host
+    )
+    SELECT s.host_a, s.host_b, s.n_shared,
+           round(s.n_shared /
+               CAST(sa.n + sb.n - s.n_shared AS DOUBLE), 4) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.host_a = sa.host
+    JOIN sizes sb ON s.host_b = sb.host
+    WHERE s.n_shared / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) >= 0.4
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4653,6 +4711,7 @@ QUERIES = {
     "wet_export": (q_wet_export, SQL_WET_EXPORT),
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
+    "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

@@ -491,3 +491,27 @@ def test_ivf_pq_blocking(spark):
         for q in range(3)
     ) / 3
     assert rec >= 0.5, rec
+
+
+def test_mirror_hosts_threshold_and_blocking(spark):
+    """A full mirror scores 1.0, a half mirror ~1/3, unrelated hosts
+    never pair (no all-pairs comparison: they share no fingerprint,
+    so the fp join produces nothing for them)."""
+    rows = (
+        [("a.test", f"f{i}") for i in range(8)]
+        + [("b.test", f"f{i}") for i in range(8)]        # full mirror
+        + [("c.test", f"f{i}") for i in range(4)]
+        + [("c.test", f"c{i}") for i in range(4)]        # half mirror
+        + [("d.test", f"d{i}") for i in range(8)]        # unrelated
+    )
+    fps = spark.createDataFrame(rows, "host string, fp string")
+    got = {
+        (r.host_a, r.host_b): r.jaccard
+        for r in dd.mirror_hosts(fps, threshold=0.3).collect()
+    }
+    assert got[("a.test", "b.test")] == 1.0
+    assert got[("a.test", "c.test")] == 0.3333  # round(4/12, 4)
+    assert got[("b.test", "c.test")] == 0.3333
+    assert not any("d.test" in k for k in got)
+    strict = dd.mirror_hosts(fps, threshold=0.5).collect()
+    assert {(r.host_a, r.host_b) for r in strict} == {("a.test", "b.test")}
