@@ -130,6 +130,7 @@ SQL_BENCH_QUERIES = [
     "shard_manifest",
     "ip_politeness",
     "mirror_hosts",
+    "parallel_corpus",
 ]
 
 

@@ -4607,6 +4607,90 @@ SQL_MIRROR_HOSTS = (
 )
 
 
+def q_parallel_corpus(spark, sf_dir):
+    """Parallel-text mining from declared translations: docs with
+    doc_id%3==0 declare the NEXT doc (doc_id+1, a real page) as their
+    'fr' hreflang alternate; joining both sides of the declaration
+    back to the page store yields aligned (src, tgt) document pairs —
+    the MT-training counterpart of dedup (language variants become
+    training PAIRS instead of near-dup discards). Pairs whose target
+    was never crawled drops at the join (including the last doc's
+    out-of-corpus alternate — no boundary special-case). Output
+    carries both texts' fingerprints and token counts; the oracle
+    derives the same declarations arithmetically (tag extraction
+    itself is hash-pinned by hreflang_alternates) and replays the
+    two-way join in SQL."""
+    from ..functions.urls import hreflang_links
+
+    pages = pages_from_documents(spark, sf_dir)
+    nxt = F.concat(
+        F.lit("http://h"), ((F.col("doc_id") + 1) % 4).cast("string"),
+        F.lit(".test/a/"),
+        (F.lit(20240101) + (F.col("doc_id") + 1) % 14).cast("string"),
+        F.lit("/"), F.lpad((F.col("doc_id") + 1).cast("string"), 9, "0"),
+        F.lit(".htm"),
+    )
+    inj = F.concat(
+        F.lit('<link rel="alternate" hreflang="fr" href="'), nxt,
+        F.lit('"/></head>'),
+    )
+    fx = pages.select(
+        "url", "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace("html_str", F.lit("</head>"), inj),
+        ).otherwise(F.col("html_str")).alias("html_str"),
+    )
+    links = hreflang_links(fx)
+    texts = pages.select("url", F.col("text").alias("t"))
+    return (
+        links.join(texts.withColumnRenamed("t", "src_text"), "url")
+        .join(
+            texts.withColumnRenamed("url", "alt_url")
+            .withColumnRenamed("t", "tgt_text"),
+            "alt_url",
+        )
+        .select(
+            F.col("url").alias("src_url"),
+            F.col("alt_url").alias("tgt_url"),
+            "hreflang",
+            F.md5("src_text").alias("src_fp"),
+            F.md5("tgt_text").alias("tgt_fp"),
+            F.size(F.split(F.trim("src_text"), r"\s+"))
+            .cast("long").alias("src_tokens"),
+            F.size(F.split(F.trim("tgt_text"), r"\s+"))
+            .cast("long").alias("tgt_tokens"),
+        )
+    )
+
+
+SQL_PARALLEL_CORPUS = (
+    _pages_cte()
+    + r"""
+    , decl AS (
+        SELECT url AS src_url,
+               'http://h' || CAST((doc_id + 1) % 4 AS VARCHAR)
+               || '.test/a/'
+               || CAST(20240101 + (doc_id + 1) % 14 AS VARCHAR) || '/'
+               || lpad(CAST(doc_id + 1 AS VARCHAR), 9, '0') || '.htm'
+                   AS tgt_url,
+               'fr' AS hreflang
+        FROM pages
+        WHERE doc_id % 3 = 0
+    )
+    SELECT d.src_url, d.tgt_url, d.hreflang,
+           md5(s.text) AS src_fp, md5(t.text) AS tgt_fp,
+           CAST(len(string_split_regex(trim(s.text), '\s+')) AS BIGINT)
+               AS src_tokens,
+           CAST(len(string_split_regex(trim(t.text), '\s+')) AS BIGINT)
+               AS tgt_tokens
+    FROM decl d
+    JOIN pages s ON d.src_url = s.url
+    JOIN pages t ON d.tgt_url = t.url
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4712,6 +4796,7 @@ QUERIES = {
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
     "ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
+    "parallel_corpus": (q_parallel_corpus, SQL_PARALLEL_CORPUS),
     "multimodal_features": (q_multimodal_features, None),
 }
 

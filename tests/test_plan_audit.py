@@ -240,7 +240,7 @@ _LAZY_QUERIES = [
     "content_sniff", "pq_ann", "request_rate_budgets",
     "meta_robots_gate", "hreflang_alternates", "sitemap_index",
     "etag_gate", "wet_export", "shard_manifest", "ip_politeness",
-    "mirror_hosts",
+    "mirror_hosts", "parallel_corpus",
 ]
 
 
