@@ -83,6 +83,22 @@ def main() -> None:
         help="politeness conversion: budget = round-seconds / delay",
     )
     ap.add_argument(
+        "--aging-every",
+        type=int,
+        default=0,
+        help="starvation-free scheduling: promote a deferred URL one "
+        "priority class every N unscheduled rounds (0 = off, the "
+        "oracle-pinned (priority, url) order)",
+    )
+    ap.add_argument(
+        "--host-ips",
+        default="",
+        help="parquet of (host, ip): per-IP budgets for virtual "
+        "hosting — each IP's --ip-budget splits evenly across its "
+        "hosts and composes politely (least) with the host budgets",
+    )
+    ap.add_argument("--ip-budget", type=int, default=64)
+    ap.add_argument(
         "--resume-from",
         type=int,
         default=-1,
@@ -131,6 +147,14 @@ def main() -> None:
                 "host",
                 F.least("budget", F.lit(args.budget)).alias("budget"),
             )
+    if args.host_ips:
+        from news_combinator_spark.operators.frontier import ip_budgets
+
+        budgets = ip_budgets(
+            spark.read.parquet(args.host_ips),
+            ip_budget=args.ip_budget,
+            host_budgets=budgets,
+        )
     web_table = None
     if args.web_buckets > 0:
         from news_combinator_spark.operators.bucketing import write_bucketed
@@ -162,6 +186,7 @@ def main() -> None:
             web_table=web_table,
             robots=robots_rules,
             robots_mode=args.robots_mode,
+            aging_every=args.aging_every,
         )
     else:
         res = crawl(
@@ -179,6 +204,7 @@ def main() -> None:
             web_table=web_table,
             robots=robots_rules,
             robots_mode=args.robots_mode,
+            aging_every=args.aging_every,
         )
     n = res.fetched.count()
     wall = time.time() - t0
