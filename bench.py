@@ -53,6 +53,7 @@ CLUSTER_CORPUS = 20000
 SQL_BENCH_QUERIES = [
     "extract_text",
     "extract_links",
+    "extract_markers",
     "pricing_summary",
     "top_revenue_customers",
     "order_priority",
@@ -71,6 +72,7 @@ SQL_BENCH_QUERIES = [
     "near_dup_groups",
     "front_page_ranking",
     "index_daterange",
+    "entry_lookup",
     "group_by_day",
     # added round 2 (new keys — per-query comparisons vs BENCH_r01
     # hold; the suite total is not comparable across rounds)

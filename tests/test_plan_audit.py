@@ -378,3 +378,24 @@ def test_recrawl_priority_window_is_partitioned(spark):
     plan = _formatted(Q.q_recrawl_priority(spark, SF_MED))
     for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]*),", plan):
         assert "url" in m.group(1), plan
+
+
+def test_bench_battery_covers_all_oracle_queries():
+    """Drift guard for bench.py: every dual-expressed (oracle) query
+    must be in the SQL bench battery or the phase-benchmarked set, so
+    a new query can't silently skip per-round timing."""
+    import bench
+
+    battery = set(bench.SQL_BENCH_QUERIES)
+    assert battery <= set(Q.QUERIES), sorted(battery - set(Q.QUERIES))
+    phase_benched = {
+        "crawl_frontier", "crawl_seen_set",  # bench_crawl
+        "news_clusters_lsh", "v1_cross_source_clusters",  # bench_cluster
+        "url_parse",  # sub-second scalar pass, folded into extract
+        "minhash_near_dups", "simhash_near_dups", "duplicated_spans",
+        "dedup_stats", "distinct_users", "multimodal_features",
+        "ivf_ann",  # recall-gated in pytest; brute-force phase benched
+    }
+    dual = {n for n, (_f, s) in Q.QUERIES.items() if s is not None}
+    missing = sorted(dual - battery - phase_benched)
+    assert not missing, f"oracle queries not benched: {missing}"
