@@ -610,6 +610,7 @@ def mirror_hosts(
     threshold: float = 0.5,
     host_col: str = "host",
     fp_col: str = "fp",
+    max_hosts_per_fp: int = 64,
 ) -> DataFrame:
     """Host pairs serving largely the same CONTENT — mirrors a crawl
     should collapse onto one member (and training dedup would
@@ -622,10 +623,24 @@ def mirror_hosts(
     of hosts meets once per SHARED document, so a true mirror costs
     its shared-doc count and unrelated hosts cost ~0), followed by
     map-side-combined counts; there is never an all-pairs host
-    comparison, and per-host set sizes come from one aggregate."""
+    comparison, and per-host set sizes come from one aggregate.
+
+    `max_hosts_per_fp` is the bucket-size guard this join needs at
+    web scale (same class as candidate_pairs' LSH guard): one
+    boilerplate fingerprint shared by 10^4 hosts would alone emit
+    ~10^8 pairs. A fp on more hosts than the cap is boilerplate, not
+    mirror evidence, and is dropped BEFORE the self-join AND before
+    the size aggregate, so the Jaccard denominator stays consistent
+    with the numerator."""
     f = fps.select(
         F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
     ).distinct()
+    if max_hosts_per_fp > 0:
+        freq = f.groupBy("fp").agg(F.count(F.lit(1)).alias("_nf"))
+        f = (
+            f.join(freq.filter(F.col("_nf") <= max_hosts_per_fp), "fp")
+            .drop("_nf")
+        )
     sizes = f.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         f.alias("a")

@@ -515,3 +515,32 @@ def test_mirror_hosts_threshold_and_blocking(spark):
     assert not any("d.test" in k for k in got)
     strict = dd.mirror_hosts(fps, threshold=0.5).collect()
     assert {(r.host_a, r.host_b) for r in strict} == {("a.test", "b.test")}
+
+
+def test_mirror_hosts_boilerplate_fp_guard(spark):
+    """A fingerprint on more hosts than max_hosts_per_fp is
+    boilerplate, not mirror evidence: it is excluded from both the
+    pair join AND the per-host set sizes, so two hosts sharing only
+    boilerplate never pair while a real mirror's Jaccard is computed
+    over its non-boilerplate content only."""
+    boiler = [(f"x{i}.test", "BOILER") for i in range(10)]
+    rows = boiler + [
+        ("x0.test", "a1"), ("x0.test", "a2"),
+        ("x1.test", "a1"), ("x1.test", "a2"),  # true mirror of x0
+        ("x2.test", "z1"), ("x2.test", "z2"),  # unrelated
+    ]
+    fps = spark.createDataFrame(rows, "host string, fp string")
+    got = {
+        (r.host_a, r.host_b): r.jaccard
+        for r in dd.mirror_hosts(
+            fps, threshold=0.5, max_hosts_per_fp=5
+        ).collect()
+    }
+    # only the real mirror pairs; jaccard over {a1,a2} only = 1.0
+    assert got == {("x0.test", "x1.test"): 1.0}
+    # with the guard off, the shared boilerplate drags every host
+    # pair above zero and x2 pairs with everyone through BOILER
+    unguarded = dd.mirror_hosts(
+        fps, threshold=0.1, max_hosts_per_fp=0
+    ).count()
+    assert unguarded == 45  # all C(10,2) pairs meet through BOILER
