@@ -313,3 +313,44 @@ def streaming_warc_ingest(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_admission_filter(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "url string, host string, html_str string, "
+                  "text string, lang string",
+    min_words: int = 30,
+    query_name: str = "admission",
+):
+    """The batch admission funnel's gates as a Structured Streaming
+    stage: landed pages stream in, soft-404s drop, mojibake repairs,
+    text normalizes, and length/language gates apply — all the SAME
+    per-row JVM expressions the batch `admission_funnel` uses
+    (pagehealth is pure select/filter, so the code path is literally
+    shared; nothing is reimplemented for streaming). Emits admitted
+    (url, host, lang, norm_text, n_words) rows; exact-dedup across
+    batches composes downstream via `streaming_seen_filter` keyed on
+    the text fingerprint instead of the url.
+    """
+    from ..functions import pagehealth as ph
+
+    pages = (
+        spark.readStream.format("parquet").schema(schema).load(input_dir)
+    )
+    live = ph.soft404_signals(pages).filter(~F.col("is_soft404"))
+    norm = ph.normalize_text(ph.demojibake("text"))
+    out = (
+        live.withColumn("norm_text", norm)
+        .withColumn("n_words", F.size(F.split("norm_text", " ")))
+        .filter(
+            (F.col("n_words") >= min_words) & (F.col("lang") == "en")
+        )
+        .select("url", "host", "lang", "norm_text", "n_words")
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -273,3 +273,41 @@ def test_streaming_politeness_scheduler(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="budget"):
         streaming_politeness_scheduler(spark, in_dir, budget=0)
+
+
+def test_streaming_admission_filter(spark, tmp_path):
+    """The batch page-health gates run unchanged on a stream: an
+    error page drops, a mojibake page repairs and admits, a short
+    page and a non-English page drop, a clean page admits."""
+    from news_combinator_spark.streaming.incremental import (
+        streaming_admission_filter,
+    )
+
+    in_dir = str(tmp_path / "landed")
+    big = "<html><h1>Doc</h1><p>" + "x" * 3000 + "</p></html>"
+    long_text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        ("http://h/err", "h", "<html><h1>404 Not Found</h1></html>",
+         "gone", "en"),
+        ("http://h/moji", "h", big,
+         long_text.replace("w1 ", "thÃ©Ã©Ã© "), "en"),
+        ("http://h/short", "h", big, "too short", "en"),
+        ("http://h/fr", "h", big, long_text, "fr"),
+        ("http://h/good", "h", big, long_text + "  extra   spaces ", "en"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "url string, host string, html_str string, text string, "
+        "lang string",
+    ).coalesce(1).write.parquet(in_dir)
+    q = streaming_admission_filter(spark, in_dir, query_name="t_adm")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.url: r for r in spark.sql("SELECT * FROM t_adm").collect()
+        }
+        assert set(got) == {"http://h/moji", "http://h/good"}
+        assert "thééé" in got["http://h/moji"].norm_text
+        assert "  " not in got["http://h/good"].norm_text
+    finally:
+        q.stop()
