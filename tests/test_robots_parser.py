@@ -282,3 +282,92 @@ def test_request_rate_parse_and_composition(spark):
         r.host: r.crawl_delay for r in effective_delays(robots).collect()
     }
     assert eff == {"h.test": 6.0, "norate.test": 7.0}
+
+
+def test_fuzz_disallow_only_parity_vs_urllib(spark):
+    """Seeded fuzz: 40 random Disallow-only robots bodies (random
+    agent groups, comments, spacing, blank lines, malformed lines,
+    empty Disallows) x 12 probe paths each — the engine's parse +
+    prefix gate must agree with urllib.robotparser on every (body,
+    path). Allow-bearing bodies are excluded: urllib applies
+    first-match order semantics there, while the engine offers
+    conservative and RFC 9309 longest-match gates (both pinned by
+    their own tests), so Disallow-only is the shared-semantics core
+    where ANY disagreement is a real parser bug. One Spark job for
+    the whole matrix."""
+    import random
+    import urllib.robotparser
+
+    from news_combinator_spark.functions.robots import (
+        rules_from_robots_txt,
+    )
+    from news_combinator_spark.operators.frontier import apply_robots
+
+    rng = random.Random(20240818)
+    segs = ["a", "b", "cat", "x1", "deep/dir", "idx.htm", ""]
+
+    def rand_path():
+        return "/" + "/".join(
+            rng.choice(segs) for _ in range(rng.randint(1, 3))
+        ).strip("/")
+
+    bodies, probes = [], []
+    for i in range(40):
+        lines = []
+        n_groups = rng.randint(1, 3)
+        star_done = False
+        for agent in rng.sample(["*", "googlebot", "ncbot"], n_groups):
+            star_done = star_done or agent == "*"
+            lines.append(f"User-agent: {agent}")
+            # every group gets >=1 real rule: an empty group followed
+            # by another UA line is ANOTHER legacy-vs-RFC divergence
+            # (urllib ends groups at blank lines; RFC 9309 ignores
+            # blanks and merges consecutive UA lines into one group)
+            lines.append("Disallow: " + rand_path())
+            for _ in range(rng.randint(0, 3)):
+                kind = rng.random()
+                if kind < 0.7:
+                    lines.append(
+                        rng.choice(["Disallow:", "Disallow :", "disallow:"])
+                        + rng.choice(["", " "]) + rand_path()
+                    )
+                elif kind < 0.8:
+                    lines.append("Disallow:")          # allow-all
+                elif kind < 0.9:
+                    lines.append("# comment " + rand_path())
+                else:
+                    lines.append("not a directive line")
+            if rng.random() < 0.5:
+                lines.append("")
+        if not star_done:
+            lines += ["User-agent: *", "Disallow: " + rand_path()]
+        body = "\n".join(lines) + "\n"
+        host = f"f{i}.test"
+        bodies.append((host, body))
+        for _ in range(12):
+            probes.append((f"http://{host}{rand_path()}", host))
+
+    robots = spark.createDataFrame(
+        bodies, "host string, robots_txt string"
+    )
+    cand = spark.createDataFrame(
+        [(u, h, 0) for u, h in probes],
+        "url string, host string, priority int",
+    ).dropDuplicates(["url"])
+    kept = {
+        r.url
+        for r in apply_robots(cand, rules_from_robots_txt(robots)).collect()
+    }
+
+    parsers = {}
+    for host, body in bodies:
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        parsers[host] = rp
+    mismatches = []
+    for r in cand.collect():
+        expected = parsers[r.host].can_fetch("*", r.url)
+        got = r.url in kept
+        if expected != got:
+            mismatches.append((r.url, expected, got))
+    assert not mismatches, mismatches[:10]
