@@ -21,9 +21,12 @@ Scale notes (10^10-URL frontier):
 - the politeness window is two-phase: per-(host, salt) local top-k
   first (defuses hot-host skew; budget rows per salt survive), then the
   exact per-host window over the survivors.
-- seen-set anti-join is prefiltered by a broadcast bloom (bloom.py), so
-  the per-round shuffle is proportional to *maybe-seen* candidates, not
-  all candidates.
+- seen-set anti-join is prefiltered by a SHARDED bloom (bloom.py
+  ShardedBloom): the bit space is split by url-hash into executor-
+  resident (shard, bits) rows, probed via a cogrouped shard-local
+  applyInPandas — no driver merge, no broadcast, so the ~36 GB bitset
+  a 10^10-URL seen-set implies never materializes in one place. Only
+  *maybe-seen* candidates reach the exact anti-join.
 - frontier is localCheckpoint'ed each round (constant-depth lineage);
   seen is a lazy union of per-round checkpointed deltas, so no O(total
   seen) rewrite happens per round. On a cluster both are Iceberg
@@ -42,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions.extract import links_udf
 from ..functions.urls import canonicalize_udf
-from .bloom import Bloom, build_bloom, maybe_seen_udf, optimal_params
+from .bloom import ShardedBloom, build_sharded_bloom
 from .ranking import partitioned_global_rank
 
 FRONTIER_COLS = ["url", "host", "priority"]
@@ -268,12 +271,19 @@ def ip_budgets(
     )
     if host_budgets is None:
         return split
+    # FULL outer: a host present on only one side keeps that side's
+    # budget (least of whichever exist). An inner join would silently
+    # drop hosts missing from a partial --host-ips map, demoting their
+    # configured budget to the scheduler default of 1 (ADVICE r2).
     return (
         split.withColumnRenamed("budget", "_ip_b")
-        .join(host_budgets.withColumnRenamed("budget", "_h_b"), "host")
+        .join(host_budgets.withColumnRenamed("budget", "_h_b"),
+              "host", "full_outer")
         .select(
             "host",
-            F.least("_ip_b", "_h_b").cast("int").alias("budget"),
+            F.least(
+                F.coalesce("_ip_b", "_h_b"), F.coalesce("_h_b", "_ip_b")
+            ).cast("int").alias("budget"),
         )
     )
 
@@ -304,9 +314,7 @@ def apply_robots_longest_match(
             F.col("host").alias("r_host"), "path_prefix", "allow"
         )
     )
-    path = F.regexp_replace(
-        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
-    )
+    path = _robots_path("url")
     cand = candidates.withColumn("_path", path)
     matched = cand.join(
         r,
@@ -370,6 +378,16 @@ def schedule_with_global_cap(
     )
 
 
+def _robots_path(col: str):
+    """Path-and-beyond of a URL for robots matching. RFC 9309 §2.2.2:
+    an empty path (bare-host URL like 'http://h.test') is evaluated
+    as '/', so 'Disallow: /' blocks it — urllib.robotparser agrees."""
+    stripped = F.regexp_replace(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    return F.when(stripped == "", F.lit("/")).otherwise(stripped)
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop candidate URLs disallowed by a (host, path-prefix) rule.
 
@@ -393,10 +411,9 @@ def apply_robots(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
         )
     r = F.broadcast(rules.withColumnRenamed("host", "r_host"))
     # path-and-beyond (path + query/fragment): strip scheme+authority
-    # textually so prefixes containing '?' still match
-    path = F.regexp_replace(
-        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
-    )
+    # textually so prefixes containing '?' still match; a bare-host URL
+    # ('http://h.test') yields '' which RFC 9309 treats as '/'
+    path = _robots_path("url")
     joined = candidates.withColumn("_path", path).join(
         r,
         (F.col("host") == F.col("r_host"))
@@ -418,6 +435,7 @@ def crawl(
     use_bloom: bool = False,
     bloom_expected: int = 1_000_000,
     bloom_fp: float = 1e-3,
+    bloom_shards: int = 64,
     salt_buckets: int = 0,
     allowed_host_suffix: str | None = None,
     checkpoint_dir: str | None = None,
@@ -459,9 +477,13 @@ def crawl(
       On a real cluster this lookup does not exist at all — priority is
       a policy over the url and existence surfaces at fetch time.
     - the bloom is a PREFILTER: its false positives fall through to the
-      exact anti-join, so fp=1e-3 is plenty and keeps the per-round
-      partition-bitset merge tens of KB instead of tens of MB. No
-      false negatives are possible, so no URL is ever re-fetched.
+      exact anti-join, so fp=1e-3 is plenty. No false negatives are
+      possible, so no URL is ever re-fetched. The bloom is SHARDED by
+      url-hash into `bloom_shards` executor-resident (shard, bits)
+      rows — built, delta-merged, and probed shard-locally (cogrouped
+      applyInPandas), never driver-merged or broadcast, so the design
+      holds at the north_rule's 10^10-URL seen-set where the total bit
+      space (~36 GB at fp 1e-6) cannot live in any one JVM.
     - `robots_mode='rfc9309'` switches the discovered-candidate gate
       to longest-match Allow/Disallow evaluation
       (`apply_robots_longest_match`); `robots` must then carry
@@ -545,12 +567,11 @@ def crawl(
             out = out.unionByName(p)
         return out
 
-    bloom: Bloom | None = None
-    maybe_udf = None
+    bloom: ShardedBloom | None = None
     if use_bloom:
-        m, k = optimal_params(bloom_expected, bloom_fp)
-        bloom = build_bloom(seen_df(), "url", m, k)
-        maybe_udf = maybe_seen_udf(spark, bloom)
+        bloom = build_sharded_bloom(
+            seen_df(), "url", bloom_expected, bloom_fp, bloom_shards
+        )
 
     if checkpoint_dir is not None and start_round == 0:
         # base snapshot: seeds are seen-delta 0, nothing fetched yet
@@ -630,8 +651,8 @@ def crawl(
                 after_robots = cand.count()
                 metrics.robots_blocked = n_cand - after_robots
 
-            if maybe_udf is not None:
-                flagged = cand.withColumn("maybe", maybe_udf(F.col("url")))
+            if bloom is not None:
+                flagged = bloom.probe(cand, "url", out_col="maybe")
                 fresh = flagged.filter("NOT maybe").drop("maybe")
                 suspect = flagged.filter("maybe").drop("maybe")
                 new = fresh.unionByName(
@@ -673,10 +694,9 @@ def crawl(
 
             seen_parts.append(new.select("url"))
             if bloom is not None:
-                m2, k2 = bloom.m, bloom.k
-                delta = build_bloom(new, "url", m2, k2)
-                bloom.or_(delta.bits)
-                maybe_udf = maybe_seen_udf(spark, bloom)
+                # shard-keyed OR of the round's seen delta; still no
+                # driver-side bitset
+                bloom = bloom.or_delta(new, "url")
             if checkpoint_dir is not None:
                 # O(new) per round: only this round's seen DELTA is
                 # written; load_checkpoint unions deltas 0..round

@@ -1,12 +1,19 @@
-"""Bloom seen-filter: no false negatives; FP rate bounded; merge OK."""
+"""Bloom seen-filter: no false negatives; FP rate bounded; merge OK.
+
+ShardedBloom (the 10^10-scale seen-set path, VERDICT r2 finding #1):
+bloom ⊇ exact, per-shard memory bounded at O(total/shards), delta
+merge is union, and the state is a DataFrame — never a driver bitset.
+"""
 
 import numpy as np
 
 from news_combinator_spark.operators.bloom import (
     Bloom,
     build_bloom,
+    build_sharded_bloom,
     maybe_seen_udf,
     optimal_params,
+    sharded_params,
 )
 
 
@@ -50,3 +57,82 @@ def test_distributed_build_matches_local(spark):
 
     out = df.withColumn("maybe", udf(F.col("url"))).toPandas()
     assert out.maybe.all()
+
+
+def test_sharded_no_false_negatives(spark):
+    """bloom ⊇ exact: every inserted url probes maybe=True."""
+    vals = [(f"http://h{i % 11}.test/p/{i}",) for i in range(3000)]
+    df = spark.createDataFrame(vals, "url string").repartition(8)
+    sb = build_sharded_bloom(df, "url", expected_n=3000, fp_rate=1e-4,
+                             n_shards=16)
+    out = sb.probe(df, "url").toPandas()
+    assert len(out) == 3000
+    assert out.maybe.all()
+
+
+def test_sharded_fp_bounded_and_definite_new(spark):
+    """Most absent urls probe maybe=False (definitely-new fast path)."""
+    seen = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(5000)], "url string"
+    )
+    sb = build_sharded_bloom(seen, "url", expected_n=5000, fp_rate=1e-4,
+                             n_shards=16)
+    probes = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(20000)], "url string"
+    )
+    fp = sb.probe(probes, "url").toPandas().maybe.sum()
+    assert fp / 20000 < 1e-2
+
+
+def test_sharded_memory_bounded(spark):
+    """No materialized bitset exceeds the per-shard byte budget — the
+    property that makes the 10^10 frontier feasible. The bit state is
+    a (shard, bits) DataFrame with ≤ n_shards bounded rows; nothing
+    holds the union."""
+    n, shards = 4000, 32
+    seen = spark.createDataFrame(
+        [(f"u-{i}",) for i in range(n)], "url string"
+    )
+    sb = build_sharded_bloom(seen, "url", expected_n=n, fp_rate=1e-4,
+                             n_shards=shards)
+    per_shard_bytes = (sb.m_per_shard + 7) // 8
+    assert sb.max_shard_bytes() <= per_shard_bytes
+    assert sb.bits_df.count() <= shards
+    # total bit space ~= unsharded sizing; each shard holds ~1/shards of it
+    m_total, _ = optimal_params(n, 1e-4)
+    assert per_shard_bytes * 8 < m_total / shards * 1.5
+
+
+def test_sharded_or_delta_is_union(spark):
+    base = spark.createDataFrame([(f"a-{i}",) for i in range(500)],
+                                 "url string")
+    delta = spark.createDataFrame([(f"b-{i}",) for i in range(500)],
+                                  "url string")
+    sb = build_sharded_bloom(base, "url", expected_n=1000, fp_rate=1e-4,
+                             n_shards=8)
+    sb2 = sb.or_delta(delta, "url")
+    both = base.unionByName(delta)
+    out = sb2.probe(both, "url").toPandas()
+    assert out.maybe.all()
+    # params unchanged by the merge
+    assert (sb2.m_per_shard, sb2.k, sb2.n_shards) == (
+        sb.m_per_shard, sb.k, sb.n_shards
+    )
+
+
+def test_sharded_probe_preserves_columns(spark):
+    df = spark.createDataFrame(
+        [("http://a.test/1", "a.test", 2)], "url string, host string, priority int"
+    )
+    sb = build_sharded_bloom(df, "url", expected_n=10, fp_rate=1e-3,
+                             n_shards=4)
+    out = sb.probe(df, "url")
+    assert out.columns == ["url", "host", "priority", "maybe"]
+
+
+def test_sharded_params_union_matches_total():
+    """Per-shard sizing sums to ~the unsharded bit budget."""
+    m_total, k_total = optimal_params(10**6, 1e-6)
+    m_shard, k_shard = sharded_params(10**6, 1e-6, n_shards=256)
+    assert abs(m_shard * 256 - m_total) / m_total < 0.01
+    assert k_shard == k_total
