@@ -56,11 +56,19 @@ SOFT404_TITLE_RE = (
 # quote/dash family; 'Â' before nbsp/guillemets.
 MOJIBAKE_RE = "(Ã[©¨±¶¼]|â€[™œ“”]|Â[»« ])"
 
-# repair order matters: longer/3-codepoint sequences first so the
-# 2-codepoint rules can't bite their prefixes.
+# repair order matters: every 'â€x' sequence (quotes, dashes,
+# ellipsis) precedes shorter prefixes so no rule can bite another's
+# prefix and leave different garbage (ADVICE r2 added the dash /
+# ellipsis / single-quote family). The '\u009d' in the right-double-
+# quote rule is what a WHATWG windows-1252 decode carries through for
+# the unmapped 0x9D byte.
 MOJIBAKE_REPAIRS = (
     ("â€™", "’"),
     ("â€œ", "“"),
+    ("â€“", "–"),
+    ("â€”", "—"),
+    ("â€¦", "…"),
+    ("â€˜", "‘"),
     ("â€", "”"),
     ("Ã©", "é"),
     ("Ã¨", "è"),

@@ -37,16 +37,24 @@ def records_from_warc(
 
     - records are segmented on the ``WARC/1.0`` version line;
     - ``WARC-Type`` / ``WARC-Target-URI`` / ``WARC-Date`` /
-      ``Content-Length`` come from the header block; absent headers
-      yield null (e.g. warcinfo records have no Target-URI);
+      ``Content-Length`` come from the HEADER BLOCK ONLY (everything
+      before the record's first blank line), each anchored to a line
+      start — header-shaped text inside a payload can no longer
+      shadow a real header (ADVICE r2). Absent headers yield null
+      (e.g. warcinfo records have no Target-URI);
     - payload = everything after the first blank line, truncated to
       Content-Length (the spec's authoritative record length — the
       inter-record separator is naturally excluded, and an
       over-long body is clipped); records without a parseable
       Content-Length get a null payload (malformed by spec).
+
+    Remaining documented limitation: segmentation itself is textual,
+    so a payload CONTAINING the literal line ``WARC/1.0`` still
+    splits the record (a length-driven reader over binary blobs is
+    the byte-exact fix; the envelope grammar here carries over).
     """
     hdr = lambda name: F.nullif(  # noqa: E731 — local shorthand
-        F.regexp_extract("rec", f"{name}: ([^\n]*)", 1), F.lit("")
+        F.regexp_extract("hb", f"(?m)^{name}: ([^\n]*)", 1), F.lit("")
     )
     recs = blobs.select(
         F.col(id_col).alias("id"),
@@ -54,23 +62,28 @@ def records_from_warc(
             F.split(F.col(blob_col), r"WARC/1\.0\n")
         ).alias("rec"),
     ).filter(F.length("rec") > 0)
+    # header block = up to the first blank line; '' when malformed
+    # (no blank line), which nulls every header below
+    recs = recs.withColumn(
+        "hb", F.regexp_extract("rec", "(?s)^(.*?)\n\n", 1)
+    )
     return recs.select(
         F.col("id").alias(id_col),
         hdr("WARC-Type").alias("rec_type"),
         hdr("WARC-Target-URI").alias("target_uri"),
         F.expr(
-            "try_cast(regexp_extract(rec, 'WARC-Date: ([^\n]*)', 1)"
+            "try_cast(regexp_extract(hb, '(?m)^WARC-Date: ([^\n]*)', 1)"
             " AS timestamp)"
         ).alias("warc_date"),
         F.expr(
-            "try_cast(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1)"
-            " AS int)"
+            "try_cast(regexp_extract(hb, '(?m)^Content-Length: ([0-9]+)',"
+            " 1) AS int)"
         ).alias("content_length"),
         F.expr(
-            "CASE WHEN regexp_extract(rec, 'Content-Length: ([0-9]+)', 1)"
-            " <> '' THEN substring(regexp_extract(rec, '(?s)\n\n(.*)$', 1),"
-            " 1, try_cast(regexp_extract(rec, 'Content-Length: ([0-9]+)',"
-            " 1) AS int)) END"
+            "CASE WHEN regexp_extract(hb, '(?m)^Content-Length: ([0-9]+)',"
+            " 1) <> '' THEN substring(regexp_extract(rec, '(?s)\n\n(.*)$',"
+            " 1), 1, try_cast(regexp_extract(hb,"
+            " '(?m)^Content-Length: ([0-9]+)', 1) AS int)) END"
         ).alias("payload"),
     )
 

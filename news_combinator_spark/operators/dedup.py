@@ -656,9 +656,12 @@ def mirror_hosts(
     sa = sizes.withColumnRenamed("host", "host_a").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed("host", "host_b").withColumnRenamed("n", "nb")
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    # plain equi-joins: host cardinality at web scale is 10^7-10^8, so
+    # the per-host size frames must NOT be forced broadcast (VERDICT r2
+    # finding #2) — AQE picks broadcast itself when they're small
     return (
-        shared.join(F.broadcast(sa), "host_a")
-        .join(F.broadcast(sb), "host_b")
+        shared.join(sa, "host_a")
+        .join(sb, "host_b")
         .filter(jac >= F.lit(threshold))
         .select(
             "host_a", "host_b", "n_shared",

@@ -518,15 +518,23 @@ def test_ip_budgets_split_and_compose(spark):
     assert got["c0.test"] == 1          # floor(10/20)=0 -> min 1
     assert got["solo.test"] == 10
     hb = spark.createDataFrame(
-        [("v0.test", 1), ("solo.test", 99), ("c0.test", 7)],
+        [("v0.test", 1), ("solo.test", 99), ("c0.test", 7),
+         ("only-hb.test", 3)],
         "host string, budget int",
     )
     comp = {
         r.host: r.budget
         for r in ip_budgets(host_ips, 10, host_budgets=hb).collect()
     }
-    # composition returns only hosts present in both frames
-    assert comp == {"v0.test": 1, "solo.test": 10, "c0.test": 1}
+    # politer of the two where both exist
+    assert comp["v0.test"] == 1 and comp["solo.test"] == 10
+    assert comp["c0.test"] == 1
+    # one-sided hosts KEEP their one budget (full outer, ADVICE r2):
+    # a partial --host-ips map must not silently demote configured
+    # host budgets to the scheduler default
+    assert comp["only-hb.test"] == 3      # host budget only
+    assert comp["v1.test"] == 2           # ip split only
+    assert len(comp) == 27                # 26 ip-mapped + 1 hb-only
 
 
 def test_priority_aging_prevents_starvation(spark):

@@ -346,6 +346,9 @@ def test_fuzz_disallow_only_parity_vs_urllib(spark):
         bodies.append((host, body))
         for _ in range(12):
             probes.append((f"http://{host}{rand_path()}", host))
+        # bare-host probe: empty path must evaluate as '/' (RFC 9309;
+        # urllib.robotparser coalesces '' -> '/' in can_fetch too)
+        probes.append((f"http://{host}", host))
 
     robots = spark.createDataFrame(
         bodies, "host string, robots_txt string"
@@ -371,3 +374,33 @@ def test_fuzz_disallow_only_parity_vs_urllib(spark):
         if expected != got:
             mismatches.append((r.url, expected, got))
     assert not mismatches, mismatches[:10]
+
+
+def test_bare_host_url_blocked_by_disallow_root(spark):
+    """'http://h.test' (no path) is '/' under RFC 9309, so
+    'Disallow: /' blocks it — in both the conservative prefix gate and
+    the longest-match gate (ADVICE r2: the old strip yielded '' and
+    let it through)."""
+    from news_combinator_spark.operators.frontier import (
+        apply_robots,
+        apply_robots_longest_match,
+    )
+
+    cand = spark.createDataFrame(
+        [("http://h.test", "h.test", 0), ("http://open.test", "open.test", 0)],
+        "url string, host string, priority int",
+    )
+    rules = spark.createDataFrame(
+        [("h.test", "/")], "host string, path_prefix string"
+    )
+    kept = {r.url for r in apply_robots(cand, rules).collect()}
+    assert kept == {"http://open.test"}
+
+    lm_rules = spark.createDataFrame(
+        [("h.test", "/", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    kept_lm = {
+        r.url for r in apply_robots_longest_match(cand, lm_rules).collect()
+    }
+    assert kept_lm == {"http://open.test"}

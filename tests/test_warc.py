@@ -219,3 +219,44 @@ def test_wet_roundtrip_through_parser(spark):
         ("http://h.test/b", "beta\nwith a newline", "conversion"),
         ("http://i.test/c", "", "conversion"),
     }
+
+
+def test_header_like_payload_text_does_not_shadow_headers(spark):
+    """Headers come from the pre-blank-line header block only,
+    anchored to line starts (ADVICE r2): a payload containing
+    'Content-Length: 3' or 'WARC-Type: ...' lines must not override
+    the envelope's values, and an indented/inline mention inside a
+    header line's value is not a header either."""
+    from news_combinator_spark.functions.warc import records_from_warc
+
+    payload = "body says WARC-Type: fake\nContent-Length: 3\nrest"
+    rec = (
+        "WARC/1.0\n"
+        "WARC-Type: response\n"
+        "WARC-Target-URI: http://h.test/a\n"
+        f"Content-Length: {len(payload)}\n"
+        "\n"
+        f"{payload}\n\n"
+    )
+    blobs = spark.createDataFrame(
+        [("h.test", rec)], "host string, warc string"
+    )
+    out = records_from_warc(blobs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.rec_type == "response"
+    assert r.content_length == len(payload)
+    assert r.payload == payload
+
+
+def test_record_without_blank_line_yields_null_headers(spark):
+    """Malformed record (no blank line): header block is empty, so
+    every header nulls and the payload is null (no Content-Length)."""
+    from news_combinator_spark.functions.warc import records_from_warc
+
+    blobs = spark.createDataFrame(
+        [("h.test", "WARC/1.0\nWARC-Type: response\nno blank line")],
+        "host string, warc string",
+    )
+    r = records_from_warc(blobs).collect()[0]
+    assert r.rec_type is None and r.payload is None
