@@ -42,6 +42,7 @@ _B, _E, _M, _S = 0, 1, 2, 3
 
 _ENV_DICT = "NC_SPARK_CHNSEG_DICT"
 _ENV_HMM = "NC_SPARK_CHNSEG_HMM"
+_ENV_ENC = "NC_SPARK_CHNSEG_ENCODING"
 
 _CACHED: "MixSegmenter | None" = None
 _CACHED_KEY: tuple[str, str] | None = None
@@ -51,11 +52,17 @@ class MixSegmenter:
     """MP (max-probability DAG) + HMM mix segmentation over a
     user-supplied frequency dictionary."""
 
-    def __init__(self, dict_path: str, hmm_path: str):
+    def __init__(self, dict_path: str, hmm_path: str,
+                 encoding: str = "utf-8"):
+        # `encoding` covers both files: the reference commits the FULL
+        # production dictionary only in GBK (reconstruction/category/
+        # dict/gbk_dict/jieba.dict.gbk + hmm_model.gbk, cppjieba's
+        # loader reads GBK natively); passing encoding="gbk" loads it
+        # without a conversion step or shipping converted data.
         total = 0.0
         entries: list[tuple[str, float]] = []
         self.tags: dict[str, str] = {}
-        with open(dict_path, encoding="utf-8") as f:
+        with open(dict_path, encoding=encoding) as f:
             for line in f:
                 parts = line.split()
                 if len(parts) < 2:
@@ -84,12 +91,12 @@ class MixSegmenter:
         for w in self.words:
             for i in range(1, len(w)):
                 self.prefixes.add(w[:i])
-        self._load_hmm(hmm_path)
+        self._load_hmm(hmm_path, encoding)
 
-    def _load_hmm(self, path: str) -> None:
+    def _load_hmm(self, path: str, encoding: str = "utf-8") -> None:
         lines = [
             ln.strip()
-            for ln in open(path, encoding="utf-8")
+            for ln in open(path, encoding=encoding)
             if ln.strip() and not ln.lstrip().startswith("#")
         ]
         self.start = [float(x) for x in lines[0].split()]
@@ -267,11 +274,15 @@ def load_stop_words(path: str) -> set[str]:
         return {ln.rstrip("\r\n") for ln in f}
 
 
-def configure_dictionary(dict_path: str, hmm_path: str) -> None:
+def configure_dictionary(dict_path: str, hmm_path: str,
+                         encoding: str = "utf-8") -> None:
     """Install dictionary paths process-wide (env vars, so forked /
-    re-importing Arrow workers pick them up) and reset the cache."""
+    re-importing Arrow workers pick them up) and reset the cache.
+    encoding="gbk" loads the reference's full production dictionary
+    (gbk_dict/jieba.dict.gbk + hmm_model.gbk) directly."""
     os.environ[_ENV_DICT] = dict_path
     os.environ[_ENV_HMM] = hmm_path
+    os.environ[_ENV_ENC] = encoding
     global _CACHED, _CACHED_KEY
     _CACHED, _CACHED_KEY = None, None
 
@@ -279,8 +290,31 @@ def configure_dictionary(dict_path: str, hmm_path: str) -> None:
 def clear_dictionary() -> None:
     os.environ.pop(_ENV_DICT, None)
     os.environ.pop(_ENV_HMM, None)
+    os.environ.pop(_ENV_ENC, None)
     global _CACHED, _CACHED_KEY
     _CACHED, _CACHED_KEY = None, None
+
+
+def snapshot_config() -> tuple[str | None, str | None, str | None]:
+    """Driver-side config snapshot for shipping inside a UDF closure:
+    executor python workers do NOT inherit env vars set after they
+    spawn, so operators capture this at plan time and `apply_config`
+    it per-task (get_segmenter's key-cache makes repeat applies
+    free)."""
+    return (
+        os.environ.get(_ENV_DICT),
+        os.environ.get(_ENV_HMM),
+        os.environ.get(_ENV_ENC),
+    )
+
+
+def apply_config(cfg: tuple[str | None, str | None, str | None]) -> None:
+    dict_path, hmm_path, enc = cfg
+    if dict_path and hmm_path:
+        os.environ[_ENV_DICT] = dict_path
+        os.environ[_ENV_HMM] = hmm_path
+        if enc:
+            os.environ[_ENV_ENC] = enc
 
 
 def get_segmenter() -> MixSegmenter | None:
@@ -291,11 +325,12 @@ def get_segmenter() -> MixSegmenter | None:
     hmm_path = os.environ.get(_ENV_HMM)
     if not dict_path or not hmm_path:
         return None
-    key = (dict_path, hmm_path)
+    encoding = os.environ.get(_ENV_ENC, "utf-8")
+    key = (dict_path, hmm_path, encoding)
     if _CACHED_KEY == key:
         return _CACHED
     if not (os.path.exists(dict_path) and os.path.exists(hmm_path)):
         return None
-    _CACHED = MixSegmenter(dict_path, hmm_path)
+    _CACHED = MixSegmenter(dict_path, hmm_path, encoding=encoding)
     _CACHED_KEY = key
     return _CACHED
