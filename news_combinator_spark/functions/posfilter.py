@@ -64,15 +64,22 @@ _CJK_CHAR_RE = re.compile(r"[一-鿿]")
 def pos_tag(tokens: Iterable[str]) -> list[tuple[str, str]]:
     """Deterministic POS tagger. With a dictionary segmenter
     configured (functions/chnseg.py), dictionary words take their
-    dictionary tag and out-of-vocabulary CJK words get 'x' —
-    PosTagger.hpp:41-66 semantics. Non-CJK tokens (and everything in
-    the unconfigured default mode) use the heuristic stand-in:
-    numerals -> 'm', punctuation -> 'w', pronouns -> 'r', function
-    words -> 'u', everything else -> 'n'. Crude, but exercises every
-    branch of the attr-dict filter deterministically."""
+    dictionary tag — PosTagger.hpp:41-66 semantics. Out-of-vocabulary
+    CJK words get a REAL tag from the reference's committed
+    jieba.posseg Viterbi model when one is configured
+    (functions/posseg.configure_pos_model over
+    reconstruction/category/dict/pos_dict), falling back to
+    PosTagger.hpp's 'x' when it is not. Non-CJK tokens (and
+    everything in the unconfigured default mode) use the heuristic
+    stand-in: numerals -> 'm', punctuation -> 'w', pronouns -> 'r',
+    function words -> 'u', everything else -> 'n'. Crude, but
+    exercises every branch of the attr-dict filter
+    deterministically."""
     from .chnseg import get_segmenter
+    from .posseg import get_pos_model
 
     seg = get_segmenter()
+    posm = get_pos_model()
     out = []
     for t in tokens:
         if seg is not None:
@@ -81,7 +88,7 @@ def pos_tag(tokens: Iterable[str]) -> list[tuple[str, str]]:
                 out.append((t, dict_tag))
                 continue
             if _CJK_CHAR_RE.search(t):
-                out.append((t, "x"))
+                out.append((t, posm.tag_word(t) if posm else "x"))
                 continue
         if _NUM_RE.match(t):
             flag = "m"
@@ -136,10 +143,19 @@ def doc_pos_tags(
 ) -> DataFrame:
     """(doc_id, tags array<string>): the POS-filtered tag list per
     document, Arrow-batched (the tagger + filter run per row inside
-    mapInPandas — same parallel unit as the reference daemon)."""
+    mapInPandas — same parallel unit as the reference daemon).
+    Driver-side segmenter/pos-model config is snapshotted into the
+    closure so executor workers (which don't see env vars set after
+    they spawn) build the same tagger."""
+    from . import chnseg, posseg
     from .textfns import tokenize
 
+    seg_cfg = chnseg.snapshot_config()
+    pos_cfg = posseg.snapshot_config()
+
     def _tags(batches):
+        chnseg.apply_config(seg_cfg)
+        posseg.apply_config(pos_cfg)
         for pdf in batches:
             yield pd.DataFrame(
                 {

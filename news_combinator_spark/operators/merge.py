@@ -145,3 +145,125 @@ class SnapshotTable:
             else merge_into(current, source, key_cols, when_matched, **kwargs)
         )
         return self.commit(merged)
+
+
+# ---------------------------------------------------------------------------
+# Flag-gated Iceberg backend (SURVEY §7 M0 seam)
+# ---------------------------------------------------------------------------
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath —
+    the precondition for catalog='iceberg'. This sandbox ships no
+    Iceberg jar, so the parquet stand-in is exercised here and the
+    Iceberg half of the parametrized test skips."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — jar probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSnapshotTable:
+    """The same four-method surface as SnapshotTable over a REAL
+    Iceberg table: snapshot ids instead of v=N directories, SQL
+    ``MERGE INTO`` instead of the DataFrame merge, ``VERSION AS OF``
+    time travel instead of directory reads. Requires the Iceberg
+    Spark runtime + a configured catalog
+    (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog).
+
+    Policy mapping (merge_into -> MERGE INTO):
+    - skip:      WHEN NOT MATCHED THEN INSERT *
+    - update:    WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *
+    - update_ts: WHEN MATCHED THEN UPDATE SET t.<ts> = s.<ts>
+                 WHEN NOT MATCHED THEN INSERT *
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "catalog='iceberg' needs the Iceberg Spark runtime jar "
+                "and a configured spark.sql.catalog; falling back is the "
+                "caller's choice (snapshot_table(catalog='parquet'))"
+            )
+        self.spark = spark
+        self.table = table
+
+    def latest_version(self) -> int:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else 0
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        try:
+            if version is None:
+                return self.spark.table(self.table)
+            return self.spark.read.option("snapshot-id", version).table(
+                self.table
+            )
+        except Exception:
+            # not-yet-created table reads as None, matching the
+            # parquet stand-in's empty-pointer behavior
+            if version is None:
+                return None
+            raise
+
+    def commit(self, df: DataFrame) -> int:
+        df.writeTo(self.table).createOrReplace()
+        return self.latest_version()
+
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "skip",
+        ts_col: str | None = None,
+        source_order: list | None = None,
+    ) -> int:
+        if when_matched not in ("skip", "update", "update_ts"):
+            raise ValueError(f"unknown when_matched: {when_matched!r}")
+        src = source
+        if source_order is not None:
+            w = Window.partitionBy(*key_cols).orderBy(*source_order)
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+        if self.read() is None:  # bootstrap: first commit IS the source
+            return self.commit(src)
+        src.createOrReplaceTempView("_merge_source")
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        matched = {
+            "skip": "",
+            "update": "WHEN MATCHED THEN UPDATE SET *",
+            "update_ts": (
+                f"WHEN MATCHED THEN UPDATE SET t.{ts_col} = s.{ts_col}"
+            ),
+        }[when_matched]
+        self.spark.sql(
+            f"MERGE INTO {self.table} t USING _merge_source s ON {on} "
+            f"{matched} WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.latest_version()
+
+
+def snapshot_table(
+    spark: SparkSession, location: str, catalog: str = "parquet"
+):
+    """The M0 seam: one constructor, two backends. catalog='iceberg'
+    returns an IcebergSnapshotTable over a catalog table identifier
+    (raising if the runtime jar is absent); catalog='parquet' (the
+    sandbox default) returns the versioned-parquet SnapshotTable over
+    a filesystem path. Both expose latest_version/read/commit/merge
+    with identical semantics (tests/test_merge_posfilter.py
+    parametrizes the same scenario over both)."""
+    if catalog == "iceberg":
+        return IcebergSnapshotTable(spark, location)
+    if catalog == "parquet":
+        return SnapshotTable(spark, location)
+    raise ValueError(f"unknown catalog: {catalog!r}")

