@@ -171,13 +171,21 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 1,
-    corpus_assign: int = 1,
+    corpus_assign: int = 2,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe best cells per query.
+
+    Default (n_probe=8/16 cells, corpus_assign=2) comes from a bench
+    sweep (r3): multi-assignment is the dominant recall lever —
+    recall ~0.97 at a 50% scan fraction x2 index replication, vs
+    ~0.79 for the same scan single-assigned; the r2 default
+    (4/16, ca=1) measured ~0.68-0.75. Full probe (n_probe=n_cells)
+    stays exactly brute force (the oracle invariant), ca-independent
+    because duplicate pairs dedupe before ranking.
 
     ``corpus_assign`` > 1 replicates each corpus vector into that many
     nearest cells (multi-assignment): index size grows linearly with it

@@ -122,6 +122,8 @@ def test_ivf_recall_vs_bruteforce(spark):
     )
     queries = emb.filter(F.col("vec_id") < 10)
     exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    # r3 defaults (multi-assign 2): gate tightened 0.5 -> 0.9 per the
+    # bench sweep (0.94 measured at 8 cells / 4 probes / ca=2)
     approx = sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
     exact_sets = {}
     for r in exact:
@@ -132,7 +134,7 @@ def test_ivf_recall_vs_bruteforce(spark):
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
 def test_ivf_corpus_multi_assign_improves_recall(spark):
@@ -164,7 +166,7 @@ def test_ivf_corpus_multi_assign_improves_recall(spark):
 
     r1, r2 = mean_recall(1), mean_recall(2)
     assert r2 >= r1, (r1, r2)
-    assert r2 >= 0.7, (r1, r2)
+    assert r2 >= 0.9, (r1, r2)
 
 
 def test_ivf_full_probe_equals_bruteforce(spark):
