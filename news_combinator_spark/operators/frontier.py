@@ -436,6 +436,7 @@ def crawl(
     bloom_expected: int = 1_000_000,
     bloom_fp: float = 1e-3,
     bloom_shards: int = 64,
+    prefilter_kind: str = "bloom",
     salt_buckets: int = 0,
     allowed_host_suffix: str | None = None,
     checkpoint_dir: str | None = None,
@@ -567,11 +568,28 @@ def crawl(
             out = out.unionByName(p)
         return out
 
-    bloom: ShardedBloom | None = None
-    if use_bloom:
-        bloom = build_sharded_bloom(
-            seen_df(), "url", bloom_expected, bloom_fp, bloom_shards
+    # the prefilter (bloom or cuckoo — the north-star names both) is
+    # semantics-neutral: false positives fall through to the exact
+    # anti-join, false negatives are impossible, so the same crawl
+    # oracle pins either kind. Cuckoo additionally supports deletion
+    # (recrawl invalidation) at ~2x the bits/key.
+    if prefilter_kind not in ("bloom", "cuckoo"):
+        raise ValueError(
+            f"prefilter_kind must be 'bloom' or 'cuckoo', got "
+            f"{prefilter_kind!r}"
         )
+    bloom = None
+    if use_bloom:
+        if prefilter_kind == "cuckoo":
+            from .cuckoo import build_sharded_cuckoo
+
+            bloom = build_sharded_cuckoo(
+                seen_df(), "url", bloom_expected, bloom_shards
+            )
+        else:
+            bloom = build_sharded_bloom(
+                seen_df(), "url", bloom_expected, bloom_fp, bloom_shards
+            )
 
     if checkpoint_dir is not None and start_round == 0:
         # base snapshot: seeds are seen-delta 0, nothing fetched yet
@@ -694,9 +712,12 @@ def crawl(
 
             seen_parts.append(new.select("url"))
             if bloom is not None:
-                # shard-keyed OR of the round's seen delta; still no
+                # shard-keyed fold of the round's seen delta; still no
                 # driver-side bitset
-                bloom = bloom.or_delta(new, "url")
+                if prefilter_kind == "cuckoo":
+                    bloom = bloom.insert_delta(new, "url")
+                else:
+                    bloom = bloom.or_delta(new, "url")
             if checkpoint_dir is not None:
                 # O(new) per round: only this round's seen DELTA is
                 # written; load_checkpoint unions deltas 0..round

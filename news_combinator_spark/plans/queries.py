@@ -164,6 +164,36 @@ def q_crawl_frontier(spark, sf_dir):
 SQL_CRAWL_FRONTIER = crawl_oracle_sql(N_DOCS_SUBQUERY)
 
 
+def q_crawl_frontier_cuckoo(spark, sf_dir):
+    """The SAME crawl under the cuckoo seen-prefilter
+    (operators/cuckoo.py — the north-star's deletable alternative to
+    the bloom): the prefilter is semantics-neutral (fps fall through
+    to the exact anti-join, no false negatives), so the identical
+    unrolled SQL oracle must hash-match — which is exactly what makes
+    an otherwise un-oracle-able membership sketch driver-checkable."""
+    pages = pages_from_documents(spark, sf_dir)
+    res = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        use_bloom=True,
+        bloom_expected=100_000,
+        prefilter_kind="cuckoo",
+        collect_lineage=False,
+    )
+    return res.fetched.select(
+        F.col("round").cast("int").alias("round"),
+        "url",
+        "host",
+        F.col("priority").cast("int").alias("priority"),
+        F.col("fetch_order").cast("int").alias("fetch_order"),
+    )
+
+
 def q_crawl_seen_set(spark, sf_dir):
     """C1: final URL-seen set (north_rule invariant)."""
     pages = pages_from_documents(spark, sf_dir)
@@ -4722,6 +4752,7 @@ _QUERIES_BY_FAMILY = {
     "extract_markers": (q_extract_markers, SQL_EXTRACT_MARKERS),
     "url_parse": (q_url_parse, SQL_URL_PARSE),
     "crawl_frontier": (q_crawl_frontier, SQL_CRAWL_FRONTIER),
+    "crawl_frontier_cuckoo": (q_crawl_frontier_cuckoo, SQL_CRAWL_FRONTIER),
     "crawl_seen_set": (q_crawl_seen_set, SQL_CRAWL_FETCHED_URLS),
     # serving
     "index_daterange": (q_index_daterange, SQL_INDEX_DATERANGE),
