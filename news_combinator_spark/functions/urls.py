@@ -36,15 +36,62 @@ SOURCE_RULES = {
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# RFC 3986 §2.3 unreserved characters: percent-encodings of these are
+# equivalent to the bare character and decode during normalization
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _normalize_percent(s: str) -> str:
+    """RFC 3986 §6.2.2.1-2: uppercase percent-encoding hex digits and
+    decode encodings of unreserved characters ('%7E' -> '~',
+    '%2f' -> '%2F'), so equivalent spellings hash identically."""
+
+    def fix(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(fix, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4: resolve '.' and '..' segments ('/a/./b/../c'
+    -> '/a/c'); '..' never climbs above the root."""
+    if "." not in path:
+        return path
+    out: list[str] = []
+    # leading '/' produces an empty first segment which anchors root
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # trailing '.'/'..' leave a directory, not a file: keep the slash
+    if path.rstrip("/").endswith((".", "..")) and (
+        path.endswith(".") or path.endswith("/")
+    ):
+        if out and out[-1] != "":
+            out.append("")
+    norm = "/".join(out)
+    return norm if norm.startswith("/") or not path.startswith("/") else "/" + norm
+
 
 def canonicalize_url(url: str) -> str:
-    """Deterministic canonical form:
+    """Deterministic canonical form (RFC 3986 §6 syntax-based
+    normalization, the C1 dedup key):
 
     - scheme + host lowercased
     - default port stripped
     - fragment stripped
     - query keys sorted (stable; duplicate keys keep relative order)
     - empty path -> '/'
+    - dot segments resolved ('/a/./b/../c' -> '/a/c')
+    - percent-encodings uppercased; unreserved chars decoded
     """
     if not url:
         return ""
@@ -58,8 +105,12 @@ def canonicalize_url(url: str) -> str:
         host, _, port = netloc.rpartition(":")
         if port == _DEFAULT_PORTS.get(scheme, ""):
             netloc = host
-    path = parts.path or "/"
-    query = "&".join(sorted(parts.query.split("&"))) if parts.query else ""
+    path = _normalize_percent(_remove_dot_segments(parts.path or "/"))
+    query = (
+        "&".join(sorted(_normalize_percent(parts.query).split("&")))
+        if parts.query
+        else ""
+    )
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
