@@ -67,6 +67,10 @@ class RoundMetrics:
 class CrawlResult:
     fetched: DataFrame  # round, url, host, priority, fetch_order
     lineage: list[RoundMetrics] = field(default_factory=list)
+    # per-(round, host) scheduled/deferred counts — the north_rule's
+    # per-partition lineage (host IS the politeness partition key).
+    # None unless crawl(host_lineage=True).
+    host_lineage: DataFrame | None = None
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         rows = [
@@ -448,6 +452,7 @@ def crawl(
     web_table: str | None = None,
     robots_mode: str = "prefix",
     aging_every: int = 0,
+    host_lineage: bool = False,
 ) -> CrawlResult:
     """Run `rounds` micro-rounds; return every fetched URL with its
     round and the deterministic global fetch_order.
@@ -597,6 +602,7 @@ def crawl(
 
     fetched_rounds: list[DataFrame] = []
     lineage: list[RoundMetrics] = []
+    host_lineage_rounds: list[DataFrame] = []
     fetched_total = fetch_order_base
 
     for r in range(start_round, rounds):
@@ -608,6 +614,20 @@ def crawl(
         ).persist()
         taken = sched.filter("taken").drop("taken")
         deferred = sched.filter("NOT taken").drop("taken")
+        if host_lineage:
+            # #hosts rows/round; checkpointed so it survives the
+            # per-round sched.unpersist (per-partition lineage is the
+            # audit trail a resume/debug reads, north_rule)
+            host_lineage_rounds.append(
+                sched.groupBy("host")
+                .agg(
+                    F.sum(F.col("taken").cast("int")).alias("n_scheduled"),
+                    F.sum((~F.col("taken")).cast("int")).alias("n_deferred"),
+                )
+                .select(F.lit(r).alias("round"), "host",
+                        "n_scheduled", "n_deferred")
+                .localCheckpoint()
+            )
         if aging_every > 0:
             deferred = deferred.withColumn("wait", F.col("wait") + 1)
 
@@ -747,7 +767,12 @@ def crawl(
         base=fetch_order_base,
         cast_to="int",
     ).select("round", "url", "host", "priority", "fetch_order")
-    return CrawlResult(fetched=result, lineage=lineage)
+    hl: DataFrame | None = None
+    if host_lineage_rounds:
+        hl = host_lineage_rounds[0]
+        for df in host_lineage_rounds[1:]:
+            hl = hl.unionByName(df)
+    return CrawlResult(fetched=result, lineage=lineage, host_lineage=hl)
 
 
 def apply_priority_boosts(

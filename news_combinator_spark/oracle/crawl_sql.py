@@ -92,3 +92,27 @@ def seen_set_oracle_sql(n_docs: int, rounds: int = CRAWL_ROUNDS) -> str:
     # reuse the CTE chain; replace the final select
     head = body[: body.rindex("SELECT cast(round as int)")]
     return head + f"SELECT url FROM seen_{rounds - 1} ORDER BY url"
+
+
+def host_lineage_oracle_sql(n_docs: int, rounds: int = CRAWL_ROUNDS) -> str:
+    """Per-(round, host) scheduled/deferred counts — the unrolled-SQL
+    twin of crawl(host_lineage=True). Deferred rows exist for EVERY
+    round in the engine (the final round's unscheduled remainder
+    included), so the deferred side is inlined from sched_r rather
+    than reusing the defer_r CTEs (which stop one round early)."""
+    body = crawl_oracle_sql(n_docs, rounds)
+    head = body[: body.rindex("SELECT cast(round as int)")]
+    unions = " UNION ALL ".join(
+        f"""SELECT {r} AS round, host,
+               CASE WHEN rn <= {_BUDGET_CASE} THEN 1 ELSE 0 END AS taken
+            FROM sched_{r}"""
+        for r in range(rounds)
+    )
+    return head + f"""
+        SELECT cast(round AS int) AS round, host,
+               cast(sum(taken) AS bigint) AS n_scheduled,
+               cast(sum(1 - taken) AS bigint) AS n_deferred
+        FROM ({unions})
+        GROUP BY round, host
+        ORDER BY round, host
+    """

@@ -45,7 +45,11 @@ from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
 from ..operators.ranking import partitioned_global_rank, ranked_prefix
 from ..operators.summarize import add_abstract_column
-from ..oracle.crawl_sql import crawl_oracle_sql, seen_set_oracle_sql
+from ..oracle.crawl_sql import (
+    crawl_oracle_sql,
+    host_lineage_oracle_sql,
+    seen_set_oracle_sql,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -192,6 +196,34 @@ def q_crawl_frontier_cuckoo(spark, sf_dir):
         F.col("priority").cast("int").alias("priority"),
         F.col("fetch_order").cast("int").alias("fetch_order"),
     )
+
+
+def q_crawl_host_lineage(spark, sf_dir):
+    """North-rule per-partition lineage: the crawl's per-(round, host)
+    scheduled/deferred audit trail — host is the politeness partition
+    key — hash-checked against the unrolled SQL replay of every
+    round's budget window."""
+    pages = pages_from_documents(spark, sf_dir)
+    res = crawl(
+        spark,
+        pages,
+        seeds_df(spark, pages),
+        budgets_df(spark),
+        robots=robots_df(spark),
+        rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        collect_lineage=False,
+        host_lineage=True,
+    )
+    return res.host_lineage.select(
+        F.col("round").cast("int").alias("round"),
+        "host",
+        F.col("n_scheduled").cast("bigint").alias("n_scheduled"),
+        F.col("n_deferred").cast("bigint").alias("n_deferred"),
+    )
+
+
+SQL_CRAWL_HOST_LINEAGE = host_lineage_oracle_sql(N_DOCS_SUBQUERY)
 
 
 def q_crawl_seen_set(spark, sf_dir):
@@ -4753,6 +4785,7 @@ _QUERIES_BY_FAMILY = {
     "url_parse": (q_url_parse, SQL_URL_PARSE),
     "crawl_frontier": (q_crawl_frontier, SQL_CRAWL_FRONTIER),
     "crawl_frontier_cuckoo": (q_crawl_frontier_cuckoo, SQL_CRAWL_FRONTIER),
+    "crawl_host_lineage": (q_crawl_host_lineage, SQL_CRAWL_HOST_LINEAGE),
     "crawl_seen_set": (q_crawl_seen_set, SQL_CRAWL_FETCHED_URLS),
     # serving
     "index_daterange": (q_index_daterange, SQL_INDEX_DATERANGE),
@@ -4876,6 +4909,9 @@ _ALWAYS_ATTEST = [
 ]
 
 _R3_ROTATION = [
+    # round-3 north-rule additions first: the sharded-cuckoo crawl and
+    # the per-(round, host) lineage audit.
+    "crawl_frontier_cuckoo", "crawl_host_lineage",
     "domain_mix", "robots_rules", "crawl_diff", "crawl_delay_budgets",
     "host_quality_filter", "sitemap_urls", "token_budget_mix",
     "fetch_retries", "redirect_resolution", "anchor_texts",
@@ -4885,10 +4921,16 @@ _R3_ROTATION = [
     "robots_longest_match", "soft404_filter", "mojibake_repair",
     "adaptive_budgets", "canonical_consolidate", "registered_domains",
     "normalize_text", "admission_funnel", "politeness_composition",
-    "content_sniff", "pq_ann", "request_rate_budgets",
-    "meta_robots_gate", "hreflang_alternates", "sitemap_index",
+    "content_sniff", "pq_ann",
+    "meta_robots_gate", "hreflang_alternates",
     "etag_gate", "wet_export", "shard_manifest", "ip_politeness",
     "mirror_hosts", "parallel_corpus", "multimodal_features",
+    # rotated OUT to make room for the two round-3 entries (their
+    # families stay represented: sitemap_urls+robots_sitemaps cover
+    # sitemaps, crawl_delay/adaptive/ip/composition cover politeness;
+    # both keep the local DuckDB-hash gate in test_queries_vs_duckdb
+    # and are candidates for the r4 window): request_rate_budgets,
+    # sitemap_index.
 ]
 
 QUERIES = {

@@ -136,3 +136,30 @@ def test_sharded_params_union_matches_total():
     m_shard, k_shard = sharded_params(10**6, 1e-6, n_shards=256)
     assert abs(m_shard * 256 - m_total) / m_total < 0.01
     assert k_shard == k_total
+
+
+def test_sharded_paths_never_collect_bitsets():
+    """Structural audit (VERDICT r2 'done' criterion: no driver-side
+    full-bitset merge): in the sharded bloom and cuckoo code paths the
+    only driver collect() is the 1-row MAX(length) aggregate of
+    max_shard_bytes — the legacy single-bitset Bloom.build_bloom is
+    the one other site, and it is not reachable from ShardedBloom,
+    ShardedCuckoo, or the crawl loop."""
+    import inspect
+
+    from news_combinator_spark.operators import bloom, cuckoo
+
+    for fn in (
+        bloom.build_sharded_bloom,
+        bloom._fold_mixed,
+        bloom.ShardedBloom.or_delta,
+        bloom.ShardedBloom.probe,
+        cuckoo.build_sharded_cuckoo,
+        cuckoo.ShardedCuckoo._mutate,
+        cuckoo.ShardedCuckoo.probe,
+    ):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src, fn.__qualname__
+        assert "broadcast(" not in src, fn.__qualname__
+    # the audit helper is the single sanctioned 1-row collect
+    assert ".collect()" in inspect.getsource(bloom.ShardedBloom.max_shard_bytes)

@@ -596,3 +596,30 @@ def test_crawl_aging_mode_runs_and_differs_only_in_order(spark):
     assert r0 == set(
         seeds_df(spark, pages).toPandas().url
     ) or r0 <= set(seeds_df(spark, pages).toPandas().url)
+
+
+def test_host_lineage_budget_and_conservation(spark):
+    """Per-(round, host) lineage: every host's scheduled count obeys
+    its budget every round, and scheduled+deferred per round equals
+    that round's frontier rows for the host (conservation). The
+    hash-level parity vs the unrolled SQL replay is the driver oracle
+    `crawl_host_lineage`."""
+    pages = pages_from_documents(spark, SF_SMALL)
+    budgets = budgets_df(spark)
+    res = crawl(
+        spark, pages, seeds_df(spark, pages), budgets,
+        robots=robots_df(spark), rounds=CRAWL_ROUNDS,
+        allowed_host_suffix=".test",
+        collect_lineage=True, host_lineage=True,
+    )
+    hl = res.host_lineage.toPandas()
+    assert set(hl.columns) == {"round", "host", "n_scheduled", "n_deferred"}
+    bmap = {r.host: r.budget for r in budgets.collect()}
+    default = 1
+    for _, row in hl.iterrows():
+        assert row.n_scheduled <= bmap.get(row.host, default), row
+    # per-round totals agree with the aggregate lineage metrics
+    agg = hl.groupby("round")[["n_scheduled", "n_deferred"]].sum()
+    for m in res.lineage:
+        assert agg.loc[m.round, "n_scheduled"] == m.scheduled
+        assert agg.loc[m.round, "n_deferred"] == m.deferred

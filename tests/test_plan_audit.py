@@ -249,7 +249,8 @@ _LAZY_QUERIES = [
 # the lazy-plan parametrization above
 _EAGER_AUDITED_ELSEWHERE = {
     # crawl loop: test_frontier_fetch_order_no_global_window
-    "crawl_frontier", "crawl_frontier_cuckoo", "crawl_seen_set",
+    "crawl_frontier", "crawl_frontier_cuckoo", "crawl_host_lineage",
+    "crawl_seen_set",
     # CC / greedy iteration loops: test_clustering / test_linkgraph
     "news_clusters_lsh", "near_dup_groups", "link_rank",
 }
@@ -391,6 +392,7 @@ def test_bench_battery_covers_all_oracle_queries():
     phase_benched = {
         "crawl_frontier", "crawl_seen_set",  # bench_crawl
         "crawl_frontier_cuckoo",  # same loop, cuckoo prefilter
+        "crawl_host_lineage",     # same loop + per-host audit frames
         "news_clusters_lsh", "v1_cross_source_clusters",  # bench_cluster
         "url_parse",  # sub-second scalar pass, folded into extract
         "minhash_near_dups", "simhash_near_dups", "duplicated_spans",
