@@ -133,6 +133,14 @@ SQL_BENCH_QUERIES = [
     "ip_politeness",
     "mirror_hosts",
     "parallel_corpus",
+    # added round 3
+    "delta_admit",
+    "canonical_best",
+    "trap_hosts",
+    "host_reputation",
+    "ngram_counts",
+    "wat_export",
+    "frontier_merge",
 ]
 
 

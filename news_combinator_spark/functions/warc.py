@@ -145,3 +145,47 @@ def wet_blob(
             F.count(F.lit(1)).alias("n_records"),
         )
     )
+
+
+def wat_records(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    outlink_cols: tuple[str, ...] = ("next1_url", "next2_url"),
+) -> DataFrame:
+    """Serialize per-page METADATA as WAT-style ``metadata`` records —
+    the companion format to WET (wet_records): where WET carries the
+    derived text, WAT carries the envelope a link-graph / indexing
+    consumer wants without touching page bodies (target URI, content
+    digest, size, outlinks). Output: input columns + ``wat_record``.
+
+    The payload is a minimal JSON envelope assembled with plain
+    string concatenation rather than ``to_json`` — key ORDER and
+    float/escape formatting of engine-native JSON serializers are
+    implementation-specific, so hand-assembly is what keeps the bytes
+    identical across engines (and under the DuckDB hash gate). Same
+    LF / character-length conventions as wet_records, so
+    records_from_warc segments these too."""
+    payload = F.concat(
+        F.lit('{"WARC-Target-URI":"'),
+        F.col(url_col),
+        F.lit('","Content-Digest":"md5:'),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit('","Text-Chars":'),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("string"),
+        F.lit(',"Links":["'),
+        F.concat_ws('","', *[F.col(c) for c in outlink_cols]),
+        F.lit('"]}'),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: metadata\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\nWARC-Date: "),
+        F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\nContent-Type: application/json\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\n\n"),
+        payload,
+    )
+    return df.withColumn("wat_record", rec)

@@ -384,6 +384,165 @@ def dedup_keep_canonical(
     return df.join(keep, "doc_id", "left_semi")
 
 
+def keep_best_in_groups(
+    df: DataFrame,
+    score_col: str,
+    groups: DataFrame | None = None,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Quality-aware canonical selection: (doc_id, canonical,
+    is_canonical) where each near-dup component's survivor is the
+    member with the HIGHEST ``score_col`` (ties -> lowest doc_id),
+    instead of near_dup_groups' blind min-id rule.
+
+    At training-data scale the min-id survivor is often the worst copy
+    (a truncated syndication of the full article); picking the argmax
+    of a quality score keeps the best text while dropping the same
+    duplicates. One groupBy per component with a max-of-struct
+    aggregate — map-side combined, no window, no skew beyond component
+    size (already bounded by the banding guard upstream)."""
+    if groups is None:
+        groups = near_dup_groups(df, **near_dup_kwargs)
+    scored = groups.join(df.select("doc_id", score_col), "doc_id")
+    # argmax(score, tie -> min doc_id) as max(struct(score, -doc_id))
+    best = (
+        scored.groupBy(F.col("canonical").alias("component"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("m")
+        )
+        .select("component", (-F.col("m.neg_id")).alias("best_id"))
+    )
+    return (
+        groups.join(best, groups["canonical"] == best["component"])
+        .select(
+            "doc_id",
+            F.col("best_id").alias("canonical"),
+            (F.col("doc_id") == F.col("best_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _banded_df(sigs: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band rows for a signature
+    frame — the exposed half of candidate_pairs' banding, for joins
+    where the two sides are DIFFERENT frames (delta admission)."""
+    from ..functions.textfns import lsh_bands
+
+    def _bands(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                for band_id, band_hash in lsh_bands(list(sig), bands):
+                    rows.append((doc_id, band_id, band_hash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "band_id", "band_hash"]
+            )
+
+    return sigs.mapInPandas(
+        _bands, schema="doc_id long, band_id int, band_hash long"
+    )
+
+
+def _sig_df(toks: DataFrame, num_perm: int) -> DataFrame:
+    def _sig(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": pdf["tokens"].map(
+                        lambda t: minhash_signature(list(t), num_perm)
+                    ),
+                }
+            )
+
+    return toks.mapInPandas(_sig, schema="doc_id long, sig array<long>")
+
+
+def delta_admit(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Incremental near-dup admission: the INCOMING rows that have no
+    near-duplicate (token Jaccard >= threshold) in the existing
+    CORPUS. Returns incoming's rows unchanged, filtered.
+
+    This is the form dedup takes on a ROLLING corpus: each crawl round
+    delivers a delta that must be checked against everything already
+    admitted, without re-clustering the corpus. Both sides are
+    MinHash-banded; candidates come from an equi-join of incoming
+    bands against corpus bands — cost O(|delta| + matching buckets),
+    never O(|corpus|^2) and never a rescan of corpus content. At
+    production scale the corpus band table is computed once and
+    persisted (bucketed by (band_id, band_hash)), so each round
+    shuffles only the delta; here both sides derive from DataFrames so
+    the whole flow stays hash-checkable against a brute-force NOT
+    EXISTS oracle (lossless banding at oracle scale, same argument as
+    minhash_near_dups).
+
+    Intra-delta duplicates are NOT resolved here — compose with
+    near_dup_groups/keep_best_in_groups on the admitted batch. The
+    ``max_bucket`` guard drops corpus boilerplate buckets before the
+    join, the same s^2/2 bound as candidate_pairs."""
+    inc_toks = _tokens_df(incoming, text_col)
+    cor_toks = _tokens_df(corpus, text_col)
+    inc_bands = _banded_df(_sig_df(inc_toks, num_perm), bands)
+    cor_bands = _banded_df(_sig_df(cor_toks, num_perm), bands)
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    cor_bands = (
+        cor_bands.withColumn("bucket_n", F.count("*").over(w_bucket))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    cand = (
+        inc_bands.select(
+            "band_id", "band_hash", F.col("doc_id").alias("a")
+        )
+        .join(
+            cor_bands.select(
+                "band_id", "band_hash", F.col("doc_id").alias("b")
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    joined = cand.join(
+        inc_toks.select(F.col("doc_id").alias("a"), F.col("tokens").alias("a_tok")),
+        "a",
+    ).join(
+        cor_toks.select(F.col("doc_id").alias("b"), F.col("tokens").alias("b_tok")),
+        "b",
+    )
+
+    def _verify(batches):
+        for pdf in batches:
+            sims = [
+                jaccard(set(x), set(y))
+                for x, y in zip(pdf["a_tok"], pdf["b_tok"])
+            ]
+            out = pdf[["a"]].copy()
+            out["jaccard_sim"] = sims
+            yield out
+
+    dup_ids = (
+        joined.mapInPandas(_verify, schema="a long, jaccard_sim double")
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+    )
+    return incoming.join(dup_ids, "doc_id", "left_anti")
+
+
 def _span_sites(df: DataFrame, text_col: str, window: int) -> DataFrame:
     """(doc_id, pos, span_hash): one row per length-``window``
     whitespace-token run, hashed. Shared by ``duplicated_spans`` and
@@ -402,6 +561,43 @@ def _span_sites(df: DataFrame, text_col: str, window: int) -> DataFrame:
     """
     return toks.select(
         "doc_id", F.posexplode(F.expr(span_hashes)).alias("pos", "span_hash")
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-wide token n-gram counts: (gram, n_occurrences) for
+    every whitespace-token n-gram appearing at least ``min_count``
+    times anywhere in the corpus.
+
+    The n-gram index behind decontamination sweeps and repeated-
+    boilerplate mining, and the textbook map-side-combine shape: the
+    exploded gram stream never materializes — partial aggregation
+    collapses within-partition repeats before the single shuffle, so
+    shuffle volume is O(distinct grams per partition), not O(total
+    grams). Same slice machinery as duplicated_spans but carrying the
+    gram STRINGS (this is the inventory view; the span view carries
+    hashes + positions)."""
+    toks = df.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    grams = f"""
+        CASE WHEN size(toks) >= {n}
+             THEN transform(
+                    sequence(0, size(toks) - {n}),
+                    i -> concat_ws(' ', slice(toks, i + 1, {n})))
+             ELSE CAST(array() AS array<string>)
+        END
+    """
+    return (
+        toks.select(F.explode(F.expr(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
     )
 
 

@@ -1021,6 +1021,35 @@ def load_checkpoint(spark: SparkSession, path: str, rnd: int):
     return frontier, seen, meta
 
 
+def merge_frontiers(*frontiers: DataFrame) -> DataFrame:
+    """Merge frontier snapshots from separate origins (a resumed
+    checkpoint, a sitemap-discovered delta, a second seed list, a
+    prior crawl's recrawl queue) into ONE schedulable frontier:
+    exactly one row per url, the most urgent proposal winning.
+
+    Semantics per url: priority = min over proposals (lower sorts
+    first in schedule_per_host, so min keeps the most urgent),
+    host = the single host every proposal carries (min() for
+    determinism against malformed inputs), n_sources = how many
+    input frontiers proposed the url (a scheduler can boost
+    multiply-proposed urls via apply_priority_boosts).
+
+    One union + one map-side-combined groupBy on url — the same
+    shuffle key the crawl loop's dedup uses, so at scale the merged
+    frame enters the round already partitioned correctly. Never a
+    window, never a driver-side fold."""
+    if not frontiers:
+        raise ValueError("merge_frontiers needs at least one frontier")
+    uni = frontiers[0].select(*FRONTIER_COLS)
+    for fr in frontiers[1:]:
+        uni = uni.unionByName(fr.select(*FRONTIER_COLS))
+    return uni.groupBy("url").agg(
+        F.min("host").alias("host"),
+        F.min("priority").alias("priority"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+
+
 def resume_crawl(
     spark: SparkSession,
     pages: DataFrame | None,

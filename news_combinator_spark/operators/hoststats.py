@@ -1,0 +1,122 @@
+"""Host-level curation statistics that feed back into crawl scheduling.
+
+The reference schedules purely by source config (crawler.php walks a
+static source list); a web-scale frontier instead LEARNS per-host
+behavior and folds it into the politeness/priority plan each round:
+
+- trap_hosts:      distinct-URL vs distinct-content explosion — the
+                   content-side crawler-trap signal (calendar pages /
+                   session ids serving identical bodies). Complements
+                   the syntax-side template mining in the
+                   `url_templates` query: a trap whose varying tokens
+                   are non-numeric is invisible to template
+                   collapsing but still shows up here.
+- host_reputation: compose trap ratio, soft-404-ish rate, and mean
+                   document quality into one crawl-budget multiplier
+                   per host, the number a frontier scheduler
+                   multiplies into its per-host politeness budget
+                   (operators/frontier.py budgets).
+
+Everything is host-granularity aggregation over built-in expressions:
+map-side-combined groupBys, ordinary equi-joins at host cardinality
+(10^7-10^8 at web scale — never forced-broadcast, per the
+mirror_hosts lesson), zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trap_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    host_col: str = "host",
+    ratio_threshold: float = 2.0,
+) -> DataFrame:
+    """(host, n_urls, n_contents, url_content_ratio, is_trap).
+
+    A host is flagged when it serves ``ratio_threshold`` times more
+    distinct URLs than distinct content bodies — the signature of an
+    infinite URL space over finite content. Content identity is
+    md5(text) so the aggregate carries 16-byte digests, not bodies.
+    Two count-distincts in one groupBy (one expand, still map-side
+    partial); output is one row per host.
+    """
+    per_host = pages.groupBy(host_col).agg(
+        F.countDistinct(F.col(url_col)).alias("n_urls"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_contents"),
+    )
+    ratio = F.col("n_urls") / F.col("n_contents")
+    return per_host.select(
+        host_col,
+        "n_urls",
+        "n_contents",
+        F.round(ratio, 4).alias("url_content_ratio"),
+        (ratio > ratio_threshold).alias("is_trap"),
+    )
+
+
+def host_reputation(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    host_col: str = "host",
+    trap_ratio_threshold: float = 2.0,
+    stub_chars: int = 64,
+    stub_rate_threshold: float = 0.3,
+    low_quality_factor: float = 0.5,
+) -> DataFrame:
+    """Per-host crawl-budget multiplier from observed page quality.
+
+    Signals, each halving (or quartering) the budget when tripped:
+
+    - trap:        url_content_ratio > trap_ratio_threshold  -> x0.25
+    - stubs:       fraction of pages shorter than ``stub_chars``
+                   characters exceeds ``stub_rate_threshold`` -> x0.5
+                   (the cheap soft-404 proxy; the full admission gate
+                   is functions/pagehealth.soft404_signals)
+    - low quality: host mean token count below
+                   ``low_quality_factor`` x corpus mean -> x0.5
+
+    Returns (host, n_urls, url_content_ratio, stub_rate, mean_tok,
+    budget_multiplier). The multiplier is what a scheduler multiplies
+    into the host's politeness budget next round — curation feeding
+    back into crawl ordering. The corpus mean is a 1-row aggregate
+    broadcast into the host frame; the host<->trap join is an
+    ordinary equi-join.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    per_host = pages.groupBy(host_col).agg(
+        F.avg(n_tok).alias("mean_tok"),
+        F.avg(
+            (F.length(F.col(text_col)) < stub_chars).cast("double")
+        ).alias("stub_rate"),
+    )
+    corpus = pages.agg(F.avg(n_tok).alias("corpus_mean_tok"))
+    traps = trap_hosts(
+        pages, url_col, text_col, host_col, trap_ratio_threshold
+    )
+    joined = per_host.join(traps, host_col).crossJoin(F.broadcast(corpus))
+    mult = (
+        F.lit(1.0)
+        * F.when(F.col("is_trap"), F.lit(0.25)).otherwise(F.lit(1.0))
+        * F.when(
+            F.col("stub_rate") > stub_rate_threshold, F.lit(0.5)
+        ).otherwise(F.lit(1.0))
+        * F.when(
+            F.col("mean_tok")
+            < F.lit(low_quality_factor) * F.col("corpus_mean_tok"),
+            F.lit(0.5),
+        ).otherwise(F.lit(1.0))
+    )
+    return joined.select(
+        host_col,
+        "n_urls",
+        "url_content_ratio",
+        F.round("stub_rate", 4).alias("stub_rate"),
+        F.round("mean_tok", 4).alias("mean_tok"),
+        F.round(mult, 4).alias("budget_multiplier"),
+    )

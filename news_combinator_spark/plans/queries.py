@@ -40,6 +40,7 @@ from ..functions import sitemap as sm
 from ..functions import warc as wc
 from ..functions.robots import rules_from_robots_txt
 from ..operators import frontier as fr
+from ..operators import hoststats as hs
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
@@ -4771,6 +4772,376 @@ SQL_PARALLEL_CORPUS = (
 
 
 # ===========================================================================
+# Round-3 additions: incremental dedup, quality-aware canonicals,
+# host-behavior curation, n-gram inventory, WAT export, frontier merge
+# ===========================================================================
+
+def q_delta_admit(spark, sf_dir):
+    """Incremental near-dup admission (dedup.delta_admit): docs
+    doc_id%5==0 are this round's DELTA, the rest the already-admitted
+    corpus; a delta doc is admitted only if no corpus doc reaches
+    token Jaccard >= 0.95. Banding is lossless at this scale
+    (max_bucket >= corpus), so the brute-force NOT EXISTS oracle
+    hash-checks the banded path exactly — the rolling-corpus form of
+    minhash_near_dups."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.delta_admit(
+        corpus, incoming, threshold=0.95, max_bucket=10_000
+    ).select("doc_id")
+
+
+SQL_DELTA_ADMIT = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      FROM documents WHERE doc_id < 500
+    ),
+    inc AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+    cor AS (SELECT * FROM t WHERE doc_id % 5 <> 0)
+    SELECT i.doc_id FROM inc i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cor c
+      WHERE len(list_intersect(i.toks, c.toks))::DOUBLE
+            / len(list_distinct(list_concat(i.toks, c.toks))) >= 0.95)
+"""
+
+
+def q_canonical_best(spark, sf_dir):
+    """Quality-aware canonical selection (dedup.keep_best_in_groups):
+    near-dup components keep their LONGEST member (token count,
+    tie -> min doc_id) instead of near_dup_groups' min-id survivor —
+    at corpus scale the min-id copy is often the truncated
+    syndication. The oracle replays the recursive-CTE closure and the
+    argmax in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    scored = docs.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    groups = dd.near_dup_groups(scored, threshold=0.95, max_bucket=10_000)
+    return dd.keep_best_in_groups(scored, "n_tok", groups=groups)
+
+
+SQL_CANONICAL_BEST = r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tok
+      FROM documents WHERE doc_id < 500
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+    ),
+    edges AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id AS best_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY t.n_tok DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN t ON c.doc_id = t.doc_id
+    ),
+    best AS (SELECT component, best_id FROM ranked WHERE rn = 1)
+    SELECT c.doc_id, b.best_id AS canonical,
+           c.doc_id = b.best_id AS is_canonical
+    FROM comp c JOIN best b ON c.component = b.component
+"""
+
+
+def q_trap_hosts(spark, sf_dir):
+    """Content-side crawler-trap detection (hoststats.trap_hosts):
+    the fixture gives one host (hn%4==2) five session-id alias URLs
+    per page over unchanged bodies, so its distinct-URL count
+    explodes 6x over distinct content and it flags; the other hosts
+    sit near ratio 1 (exact-dup texts in the corpus keep it not
+    exactly 1 — also under the hash). Complements url_templates: the
+    alias token here is a non-numeric-prefixed query suffix a
+    numeric-run template collapse would only partially fold."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    aliased = (
+        pages.filter(hn % 4 == 2)
+        .select(
+            "host", "url", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("s"),
+        )
+        .select(
+            "host",
+            F.concat(
+                "url", F.lit(";jsessionid="), F.col("s").cast("string")
+            ).alias("url"),
+            "text",
+        )
+    )
+    cand = pages.select("host", "url", "text").unionByName(aliased)
+    return hs.trap_hosts(cand)
+
+
+SQL_TRAP_HOSTS = (
+    _pages_cte()
+    + r"""
+    , reps AS (SELECT unnest(range(0, 5)) AS s)
+    , aliased AS (
+        SELECT host,
+               url || ';jsessionid=' || CAST(s AS VARCHAR) AS url,
+               text
+        FROM pages CROSS JOIN reps
+        WHERE CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) % 4 = 2
+    )
+    , cand AS (
+        SELECT host, url, text FROM pages
+        UNION ALL SELECT host, url, text FROM aliased
+    )
+    SELECT host,
+           count(DISTINCT url) AS n_urls,
+           count(DISTINCT md5(text)) AS n_contents,
+           round(count(DISTINCT url)
+                 / CAST(count(DISTINCT md5(text)) AS DOUBLE), 4)
+               AS url_content_ratio,
+           count(DISTINCT url)
+               / CAST(count(DISTINCT md5(text)) AS DOUBLE) > 2.0 AS is_trap
+    FROM cand GROUP BY host
+"""
+)
+
+
+def q_host_reputation(spark, sf_dir):
+    """Per-host crawl-budget multiplier (hoststats.host_reputation):
+    the fixture trips each signal on a different host — hn%4==2 gets
+    the session-id trap aliases (x0.25), and docs doc_id%8==3 are
+    truncated to 10 chars so their host crosses the stub-rate
+    threshold (x0.5). Every comparison derives from exact integer
+    aggregates (long sums / counts), so the thresholds are
+    engine-deterministic and the oracle replays signal extraction and
+    multiplier composition in SQL. This is the number the scheduler
+    multiplies into next round's politeness budget — curation feeding
+    back into crawl ordering."""
+    pages = pages_from_documents(spark, sf_dir)
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    fx = pages.select(
+        "host", "url",
+        F.when(F.col("doc_id") % 8 == 3, F.substring("text", 1, 10))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    aliased = (
+        fx.filter(hn % 4 == 2)
+        .select(
+            "host", "url", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("s"),
+        )
+        .select(
+            "host",
+            F.concat(
+                "url", F.lit(";jsessionid="), F.col("s").cast("string")
+            ).alias("url"),
+            "text",
+        )
+    )
+    cand = fx.unionByName(aliased)
+    return hs.host_reputation(cand)
+
+
+SQL_HOST_REPUTATION = (
+    _pages_cte()
+    + r"""
+    , fx AS (
+        SELECT host, url,
+               CASE WHEN doc_id % 8 = 3 THEN substr(text, 1, 10)
+                    ELSE text END AS text
+        FROM pages
+    )
+    , reps AS (SELECT unnest(range(0, 5)) AS s)
+    , aliased AS (
+        SELECT host,
+               url || ';jsessionid=' || CAST(s AS VARCHAR) AS url,
+               text
+        FROM fx CROSS JOIN reps
+        WHERE CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) % 4 = 2
+    )
+    , cand AS (
+        SELECT host, url, text FROM fx
+        UNION ALL SELECT host, url, text FROM aliased
+    )
+    , per_host AS (
+        SELECT host,
+               avg(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT)) AS mean_tok,
+               avg(CASE WHEN length(text) < 64 THEN 1.0 ELSE 0.0 END)
+                   AS stub_rate
+        FROM cand GROUP BY host
+    )
+    , traps AS (
+        SELECT host,
+               count(DISTINCT url) AS n_urls,
+               count(DISTINCT url)
+                   / CAST(count(DISTINCT md5(text)) AS DOUBLE) AS ratio
+        FROM cand GROUP BY host
+    )
+    , corpus AS (
+        SELECT avg(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT)) AS corpus_mean_tok
+        FROM cand
+    )
+    SELECT p.host, t.n_urls,
+           round(t.ratio, 4) AS url_content_ratio,
+           round(p.stub_rate, 4) AS stub_rate,
+           round(p.mean_tok, 4) AS mean_tok,
+           round(1.0
+                 * CASE WHEN t.ratio > 2.0 THEN 0.25 ELSE 1.0 END
+                 * CASE WHEN p.stub_rate > 0.3 THEN 0.5 ELSE 1.0 END
+                 * CASE WHEN p.mean_tok < 0.5 * c.corpus_mean_tok
+                        THEN 0.5 ELSE 1.0 END, 4) AS budget_multiplier
+    FROM per_host p
+    JOIN traps t ON p.host = t.host
+    CROSS JOIN corpus c
+"""
+)
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus-wide 5-gram inventory (dedup.ngram_counts): every
+    whitespace 5-gram occurring >= 3 times — the index behind
+    decontamination sweeps and boilerplate mining, and the textbook
+    map-side-combine aggregation (partial agg collapses repeats
+    before the only shuffle). The oracle replays slice + count in
+    SQL over the gram STRINGS, so a hash/slice drift in the engine
+    path cannot hide."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dd.ngram_counts(docs, n=5, min_count=3)
+
+
+SQL_NGRAM_COUNTS = r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 500
+    ),
+    sites AS (
+      SELECT unnest(range(0, len(t) - 4)) AS pos, t
+      FROM toks WHERE len(t) >= 5
+    ),
+    g AS (
+      SELECT array_to_string(list_slice(t, pos + 1, pos + 5), ' ') AS gram
+      FROM sites
+    )
+    SELECT gram, count(*) AS n_occurrences
+    FROM g GROUP BY gram HAVING count(*) >= 3
+"""
+
+
+def q_wat_export(spark, sf_dir):
+    """WAT serialization (warc.wat_records + wet_blob): per-page
+    METADATA records — target URI, content digest, size, outlinks as
+    a hand-assembled JSON payload (engine-native to_json key order is
+    implementation-specific; concat keeps the bytes identical) —
+    concatenated per host into one deterministic blob, the metadata
+    companion to wet_export. The hash gate pins the exact serialized
+    bytes of each shard."""
+    pages = pages_from_documents(spark, sf_dir)
+    recs = wc.wat_records(pages)
+    blobs = wc.wet_blob(recs, record_col="wat_record")
+    return blobs.select(
+        F.col("shard").alias("host"),
+        "n_records",
+        F.length("wet").cast("long").alias("wat_chars"),
+        F.md5("wet").alias("wat_fp"),
+    )
+
+
+SQL_WAT_EXPORT = (
+    _pages_cte()
+    + r"""
+    , payloads AS (
+        SELECT host, url,
+               '{"WARC-Target-URI":"' || url
+               || '","Content-Digest":"md5:' || md5(coalesce(text, ''))
+               || '","Text-Chars":'
+               || CAST(length(coalesce(text, '')) AS VARCHAR)
+               || ',"Links":["' || next1_url || '","' || next2_url
+               || '"]}' AS payload,
+               warc_ts
+        FROM pages
+    )
+    , recs AS (
+        SELECT host, url,
+               'WARC/1.0' || chr(10)
+               || 'WARC-Type: metadata' || chr(10)
+               || 'WARC-Target-URI: ' || url || chr(10)
+               || 'WARC-Date: '
+               || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') || chr(10)
+               || 'Content-Type: application/json' || chr(10)
+               || 'Content-Length: '
+               || CAST(length(payload) AS VARCHAR)
+               || chr(10) || chr(10) || payload AS wat_record
+        FROM payloads
+    )
+    , blobs AS (
+        SELECT host,
+               string_agg(wat_record, chr(10) || chr(10)
+                   ORDER BY url) AS wat,
+               count(*) AS n_records
+        FROM recs GROUP BY host
+    )
+    SELECT host, n_records,
+           CAST(length(wat) AS BIGINT) AS wat_chars,
+           md5(wat) AS wat_fp
+    FROM blobs
+"""
+)
+
+
+def q_frontier_merge(spark, sf_dir):
+    """Frontier snapshot merge (frontier.merge_frontiers): two
+    overlapping frontiers — every even doc and every third doc, the
+    latter proposing a more urgent priority — merge into one row per
+    url with the most urgent priority winning and n_sources counting
+    proposals (the input apply_priority_boosts consumes). One union +
+    one groupBy on url, the crawl loop's own shuffle key."""
+    pages = pages_from_documents(spark, sf_dir)
+    fa = pages.filter(F.col("doc_id") % 2 == 0).select(
+        "url", "host", "priority"
+    )
+    fb = pages.filter(F.col("doc_id") % 3 == 0).select(
+        "url", "host",
+        F.greatest(F.col("priority") - 1, F.lit(0)).alias("priority"),
+    )
+    return fr.merge_frontiers(fa, fb)
+
+
+SQL_FRONTIER_MERGE = (
+    _pages_cte()
+    + """
+    , fa AS (
+        SELECT url, host, priority FROM pages WHERE doc_id % 2 = 0
+    )
+    , fb AS (
+        SELECT url, host, greatest(priority - 1, 0) AS priority
+        FROM pages WHERE doc_id % 3 = 0
+    )
+    , uni AS (
+        SELECT * FROM fa UNION ALL SELECT * FROM fb
+    )
+    SELECT url, min(host) AS host, min(priority) AS priority,
+           count(*) AS n_sources
+    FROM uni GROUP BY url
+"""
+)
+
+
+# ===========================================================================
 # Registry
 # ===========================================================================
 
@@ -4882,6 +5253,15 @@ _QUERIES_BY_FAMILY = {
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "parallel_corpus": (q_parallel_corpus, SQL_PARALLEL_CORPUS),
     "multimodal_features": (q_multimodal_features, None),
+    # round-3 additions (attestation candidates for the r4 window;
+    # locally hash-gated by test_queries_vs_duckdb from day one)
+    "delta_admit": (q_delta_admit, SQL_DELTA_ADMIT),
+    "canonical_best": (q_canonical_best, SQL_CANONICAL_BEST),
+    "trap_hosts": (q_trap_hosts, SQL_TRAP_HOSTS),
+    "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "wat_export": (q_wat_export, SQL_WAT_EXPORT),
+    "frontier_merge": (q_frontier_merge, SQL_FRONTIER_MERGE),
 }
 
 # ---------------------------------------------------------------------------

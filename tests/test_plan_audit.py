@@ -241,6 +241,9 @@ _LAZY_QUERIES = [
     "meta_robots_gate", "hreflang_alternates", "sitemap_index",
     "etag_gate", "wet_export", "shard_manifest", "ip_politeness",
     "mirror_hosts", "parallel_corpus",
+    # round-3 additions
+    "delta_admit", "trap_hosts", "host_reputation",
+    "ngram_counts", "wat_export", "frontier_merge",
 ]
 
 
@@ -252,7 +255,9 @@ _EAGER_AUDITED_ELSEWHERE = {
     "crawl_frontier", "crawl_frontier_cuckoo", "crawl_host_lineage",
     "crawl_seen_set",
     # CC / greedy iteration loops: test_clustering / test_linkgraph
+    # (canonical_best = near_dup_groups' CC + one lazy argmax groupBy)
     "news_clusters_lsh", "near_dup_groups", "link_rank",
+    "canonical_best",
 }
 
 
