@@ -141,6 +141,13 @@ SQL_BENCH_QUERIES = [
     "ngram_counts",
     "wat_export",
     "frontier_merge",
+    "inverted_index",
+    "term_search",
+    "shard_rendezvous",
+    "freshness_revisit",
+    "alpha_mix",
+    "cdx_export",
+    "discovery_yield",
 ]
 
 

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["records_from_warc", "wet_records", "wet_blob"]
+__all__ = [
+    "records_from_warc",
+    "wet_records",
+    "wet_blob",
+    "wat_records",
+    "surt_key",
+    "cdx_records",
+]
 
 
 def records_from_warc(
@@ -189,3 +196,59 @@ def wat_records(
         payload,
     )
     return df.withColumn("wat_record", rec)
+
+
+def surt_key(url_col, host_col) -> "F.Column":  # noqa: F821
+    """SURT (Sort-friendly URI Reordering Transform) key for a url:
+    host labels reversed and comma-joined, then ')' and the path —
+    `http://h3.test/a/9.htm` -> `test,h3)/a/9.htm`. SURT ordering is
+    what makes a CDX index range-scannable by registered domain and
+    host subtree (all of `test,h3)...` is contiguous), the web-archive
+    analog of bucketing by eTLD+1. Pure JVM split/reverse/concat."""
+    path = F.regexp_replace(url_col, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    return F.concat(
+        F.array_join(F.reverse(F.split(F.lower(host_col), r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+
+
+def cdx_records(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """CDXJ index lines per page: input columns + ``surt``,
+    ``cdx_ts`` (14-digit yyyyMMddHHmmss), ``cdx_line``.
+
+    The CDX(J) index is the third member of the archive-format family
+    (WARC carries records, WAT the metadata, WET the text; CDX is the
+    lookup INDEX over them): one line per capture —
+    ``<surt> <ts> <json>`` with the JSON carrying the original url,
+    content digest, and character length. Sorted by (surt, ts) the
+    file supports binary-search lookup and host-subtree range scans;
+    the sort is the consumer's `ORDER BY` (or the shard writer's
+    sortBy) — this operator stays per-row, shuffle-free. Hand-
+    assembled JSON for cross-engine byte identity, exactly as
+    wat_records."""
+    payload = F.concat(
+        F.lit('{"url":"'),
+        F.col(url_col),
+        F.lit('","digest":"md5:'),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit('","length":'),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("string"),
+        F.lit("}"),
+    )
+    surt = surt_key(F.col(url_col), F.col(host_col))
+    ts14 = F.date_format(ts_col, "yyyyMMddHHmmss")
+    return (
+        df.withColumn("surt", surt)
+        .withColumn("cdx_ts", ts14)
+        .withColumn(
+            "cdx_line",
+            F.concat(F.col("surt"), F.lit(" "), ts14, F.lit(" "), payload),
+        )
+    )

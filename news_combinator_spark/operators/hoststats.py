@@ -120,3 +120,62 @@ def host_reputation(
         F.round("mean_tok", 4).alias("mean_tok"),
         F.round(mult, 4).alias("budget_multiplier"),
     )
+
+
+def discovery_yield(
+    pages: DataFrame,
+    outlinks: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    link_col: str = "link",
+) -> DataFrame:
+    """Per-host frontier value: how many NEW urls each fetched page
+    contributes — (host, n_pages, n_new_links, offsite_frac,
+    discovery_yield).
+
+    `outlinks` is (host, link) — one row per extracted link from a
+    fetched page of `host`. A link is NEW when it is not itself a
+    fetched page url (the crawl's seen set at this snapshot);
+    discovery_yield = distinct new links / pages fetched. High-yield
+    hosts (hubs, fresh indexes) are where a budget-constrained
+    frontier earns its next round — the OPIC-style counterpart to
+    trap_hosts' negative signal, and `offsite_frac` separates
+    frontier EXPANSION (cross-host discovery) from site self-cover.
+    Feed into apply_priority_boosts / host budgets alongside
+    host_reputation.
+
+    Shape: one distinct on (host, link), one anti-join against the
+    fetched-url set (both on the crawl loop's own url shuffle key),
+    two map-side-combined groupBys, one host-level equi-join. Never a
+    window, never a broadcast of unbounded host frames.
+    """
+    fetched = pages.select(F.col(url_col).alias(link_col)).distinct()
+    per_host = pages.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    link_host = F.regexp_extract(F.col(link_col), r"^[a-z]+://([^/]+)", 1)
+    new_links = (
+        outlinks.dropDuplicates([host_col, link_col])
+        .join(fetched, link_col, "left_anti")
+        .groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_new_links"),
+            F.avg(
+                (link_host != F.col(host_col)).cast("double")
+            ).alias("offsite_frac"),
+        )
+    )
+    j = per_host.join(new_links, host_col, "left")
+    return j.select(
+        host_col,
+        "n_pages",
+        F.coalesce(F.col("n_new_links"), F.lit(0)).alias("n_new_links"),
+        F.round(F.coalesce(F.col("offsite_frac"), F.lit(0.0)), 6).alias(
+            "offsite_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("n_new_links"), F.lit(0))
+            / F.col("n_pages"),
+            6,
+        ).alias("discovery_yield"),
+    )

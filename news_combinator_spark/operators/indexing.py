@@ -1,0 +1,119 @@
+"""Inverted-index construction and conjunctive term search.
+
+The reference serves its news index by date + id lookups (SURVEY
+§2.5: index.php date-range pages, entry_lookup); a web-scale corpus
+additionally wants TERM access — "which documents contain these
+words" — both as a serving primitive and as the backbone of
+decontamination / boilerplate audits ("every doc containing this
+benchmark sentence"). Two operators:
+
+- term_postings:      the classic inverted index — one row per term
+                      with document frequency, total term frequency,
+                      and the sorted posting list.
+- conjunctive_search: multi-term AND retrieval over the corpus with
+                      a term-frequency score, the query-time
+                      counterpart (count-distinct-terms == n_terms,
+                      the standard relational encoding of postings
+                      intersection).
+
+Scale shape: both are two map-side-combined aggregations — tokens
+collapse to (term, doc, tf) within partitions before the first
+shuffle, then a per-term (or per-doc) agg. The posting LIST is the
+one genuinely size-unbounded output (a stopword's list is the corpus
+row count), so `max_df` drops saturated terms before collect — the
+standard stopword cut that keeps every materialized list
+O(max_df). Search never materializes lists at all; it stays in the
+aggregate domain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["term_doc_tf", "term_postings", "conjunctive_search"]
+
+
+def term_doc_tf(
+    df: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc, tf): lowercase whitespace tokens counted per
+    document — the shared first aggregation of indexing and search.
+    The explode never materializes globally: partial aggregation
+    collapses within-partition repeats before the (term, doc)
+    shuffle."""
+    return (
+        df.select(
+            F.col(doc_col).alias("doc"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted index: (term, n_docs, total_tf, postings) where
+    postings is the comma-joined ascending doc-id list.
+
+    ``min_df`` prunes hapax noise; ``max_df`` is the scale guard —
+    terms in more than ``max_df`` documents are dropped BEFORE their
+    posting list is collected (a stopword's list is otherwise the
+    size of the corpus). The df/tf pre-aggregate still covers every
+    term, so the cut costs one extra lightweight agg, not a rescan.
+    The posting string is deterministic (sorted ids, fixed
+    separator), so the whole index is hash-checkable cross-engine.
+    """
+    per = term_doc_tf(df, text_col, doc_col)
+    agg = per.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("doc"))), ","
+        ).alias("postings"),
+    )
+    out = agg.filter(F.col("n_docs") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("n_docs") <= max_df)
+    return out
+
+
+def conjunctive_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing ALL of ``terms``: (doc, score) where
+    score is the summed term frequency of the query terms — the
+    relational postings intersection (count distinct matched terms ==
+    len(terms)) with a tf ranking signal.
+
+    The term filter is pushed below the tokenize-aggregate, so only
+    matching tokens ever reach a shuffle; the per-doc agg is map-side
+    combined and the result is at most |docs matching rarest term|.
+    """
+    want = [t.lower() for t in terms]
+    per = term_doc_tf(df, text_col, doc_col).filter(
+        F.col("term").isin(want)
+    )
+    return (
+        per.groupBy("doc")
+        .agg(
+            F.countDistinct("term").alias("n_hit"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("n_hit") == len(want))
+        .select("doc", "score")
+    )

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["keep_hash", "stratified_sample", "token_budget_mix"]
+__all__ = [
+    "keep_hash",
+    "stratified_sample",
+    "token_budget_mix",
+    "alpha_mix_shares",
+]
 
 # 13 hex digits = 52 bits: exact in a double, so the threshold
 # floor(rate * 2**52) is reproducible anywhere IEEE doubles are.
@@ -134,4 +139,48 @@ def token_budget_mix(
     )
     return df.join(F.broadcast(rates), group_col).filter(
         (F.col("rate") >= 1.0) | (keep_hash(id_col) < _threshold(F.col("rate")))
+    )
+
+
+def alpha_mix_shares(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture shares per group: the POLICY side
+    of corpus mixing, producing the `shares` dict token_budget_mix
+    consumes.
+
+    share_g = tok_g^alpha / sum_h(tok_h^alpha) — the alpha-sampling
+    rule of multilingual/multi-domain pre-training recipes (alpha=1
+    keeps the natural distribution, alpha=0 flattens it uniform;
+    0.2-0.7 are the published sweet spots for upweighting the tail
+    without drowning the head). `epochs` = share_g * total_tokens /
+    tok_g is the implied pass count over each group under a budget of
+    exactly the corpus size — the number a curator reads to see
+    which tail domains would repeat (>1) and which head domains are
+    subsampled (<1).
+
+    Shape: one map-side-combined groupBy to group-token counts, a
+    1-row scalar sum broadcast back — zero shuffles over the data
+    beyond the group agg, O(groups) output.
+    """
+    tok_g = df.groupBy(group_col).agg(
+        F.sum(tokens_col).cast("double").alias("tok_g")
+    )
+    powed = tok_g.select(
+        group_col, "tok_g", F.pow("tok_g", F.lit(alpha)).alias("pw")
+    )
+    tot = powed.agg(
+        F.sum("pw").alias("z"), F.sum("tok_g").alias("tok_all")
+    )
+    share = F.col("pw") / F.col("z")
+    return powed.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("tok_g").cast("long").alias("tokens"),
+        F.round(share, 6).alias("share"),
+        F.round(share * F.col("tok_all") / F.col("tok_g"), 6).alias(
+            "epochs"
+        ),
     )

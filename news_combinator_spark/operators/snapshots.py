@@ -254,3 +254,87 @@ def etag_candidates(
         | (F.col(etag_col) != F.col("_stored_etag"))
     )
     return joined.filter(keep).drop("_stored_etag", "_seen")
+
+
+def freshness_revisit(
+    observations: DataFrame,
+    key: str = "url",
+    ts_col: str = "snap_ts",
+    fp_col: str = "fingerprint",
+    min_days: float = 1.0,
+    max_days: float = 90.0,
+) -> DataFrame:
+    """Estimated change rate and freshness-driven revisit interval
+    per url, from the same (url, snap_ts, fingerprint) observation
+    log recrawl_priority buckets.
+
+    recrawl_priority ranks urls into three coarse priority buckets;
+    this gives the scheduler the CONTINUOUS quantity instead — an
+    estimated Poisson change rate and the revisit interval that
+    targets one expected change per visit. The naive estimate
+    X/n (changes over observations) systematically UNDERCOUNTS a
+    page that changes faster than the crawler visits (several changes
+    between visits register as one), so the rate uses the
+    renewal-corrected estimator of Cho & Garcia-Molina ("Estimating
+    Frequency of Change", ACM TOIT 3(3), 2003, eq. for r̂ with the
+    +0.5 bias correction):
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / ibar
+
+    where n = observation transitions, X = observed changes, and
+    ibar = mean inter-observation gap in days. revisit_days =
+    clamp(1 / lambda_hat, min_days, max_days); a url with NO observed
+    change has lambda_hat exactly 0 (X=0 makes the log argument 1),
+    so its revisit interval clamps straight to max_days — "no
+    evidence of change" schedules the slowest revisit, never a
+    division by zero.
+
+    Scale shape: identical to recrawl_priority — a per-url lag window
+    (per-url observation count is crawl-cadence-bounded) feeding one
+    map-side-combined groupBy. All math is per-row IEEE double ops,
+    reproducible cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    trans = observations.select(key, ts_col, fp_col).withColumn(
+        "_prev", F.lag(fp_col).over(w)
+    )
+    per = trans.groupBy(key).agg(
+        (F.count(F.lit(1)) - 1).alias("n_trans"),
+        F.count(
+            F.when(
+                F.col("_prev").isNotNull()
+                & (F.col("_prev") != F.col(fp_col)),
+                F.lit(1),
+            )
+        ).alias("n_changes"),
+        (
+            (
+                F.max(F.col(ts_col)).cast("double")
+                - F.min(F.col(ts_col)).cast("double")
+            )
+            / 86400.0
+        ).alias("span_days"),
+    )
+    per = per.filter(F.col("n_trans") >= 1)
+    ibar = F.col("span_days") / F.col("n_trans")
+    lam = -F.log(
+        (F.col("n_trans") - F.col("n_changes") + 0.5)
+        / (F.col("n_trans") + 0.5)
+    ) / ibar
+    revisit = F.when(
+        F.col("n_changes") > 0,
+        F.least(
+            F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))),
+            F.lit(float(max_days)),
+        ),
+    ).otherwise(F.lit(float(max_days)))
+    return per.select(
+        key,
+        "n_trans",
+        "n_changes",
+        F.round(ibar, 6).alias("mean_gap_days"),
+        F.round(lam, 6).alias("lambda_hat"),
+        F.round(revisit, 4).alias("revisit_days"),
+    )

@@ -41,6 +41,9 @@ from ..functions import warc as wc
 from ..functions.robots import rules_from_robots_txt
 from ..operators import frontier as fr
 from ..operators import hoststats as hs
+from ..operators import indexing as ix
+from ..operators.bucketing import reshard_moves
+from ..operators.sampling import alpha_mix_shares
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import encode_fake_image, with_image_features
@@ -5142,6 +5145,322 @@ SQL_FRONTIER_MERGE = (
 
 
 # ===========================================================================
+# Round-3 additions, second batch: inverted index + term search,
+# rendezvous resharding, renewal-corrected revisit scheduling,
+# temperature-scaled mixture shares
+# ===========================================================================
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (indexing.term_postings): per-term document
+    frequency, total term frequency, and the sorted comma-joined
+    posting list over the doc corpus; min_df=3 prunes hapax noise.
+    The hash gate pins the exact posting-list BYTES per term, so a
+    tokenization or ordering drift cannot hide."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ix.term_postings(docs, min_df=3)
+
+
+SQL_INVERTED_INDEX = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    per AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM per GROUP BY term HAVING count(*) >= 3
+"""
+
+
+def q_term_search(spark, sf_dir):
+    """Conjunctive term retrieval (indexing.conjunctive_search):
+    documents containing ALL of {vector, stream, window}, scored by
+    summed query-term frequency — the relational postings
+    intersection (count-distinct-matched == n_terms). The term filter
+    sits under the tokenize aggregate, so only matching tokens reach
+    a shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ix.conjunctive_search(docs, ["vector", "stream", "window"])
+
+
+SQL_TERM_SEARCH = r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    per AS (
+      SELECT term, doc, count(*) AS tf FROM toks
+      WHERE term IN ('vector', 'stream', 'window')
+      GROUP BY term, doc
+    )
+    SELECT doc, CAST(sum(tf) AS BIGINT) AS score
+    FROM per GROUP BY doc HAVING count(DISTINCT term) = 3
+"""
+
+
+def q_shard_rendezvous(spark, sf_dir):
+    """Rendezvous resharding audit (bucketing.reshard_moves): every
+    page url placed by HRW hashing under a 16-shard and a 20-shard
+    seen-set fleet, with the moved flag. HRW's guarantee — an
+    unmoved key keeps its EXACT shard and the moved fraction
+    concentrates at (20-16)/20 — is what lets the sharded
+    cuckoo/bloom seen-set grow without a full rebuild; the hash gate
+    pins every placement, and the oracle replays the argmax over
+    md5(url || ':' || shard) in SQL."""
+    pages = pages_from_documents(spark, sf_dir)
+    return reshard_moves(pages.select("url"), "url", 16, 20)
+
+
+SQL_SHARD_RENDEZVOUS = (
+    _pages_cte()
+    + """
+    , s AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS s)
+    , h AS (
+        SELECT url, s,
+               md5(url || ':' || CAST(s AS VARCHAR)) AS hh
+        FROM pages CROSS JOIN s
+    )
+    , old AS (
+        SELECT url, max_by(s, hh) AS shard_old
+        FROM h WHERE s < 16 GROUP BY url
+    )
+    , neu AS (
+        SELECT url, max_by(s, hh) AS shard_new FROM h GROUP BY url
+    )
+    SELECT o.url, o.shard_old, n.shard_new,
+           o.shard_old <> n.shard_new AS moved
+    FROM old o JOIN neu n ON o.url = n.url
+"""
+)
+
+
+def q_freshness_revisit(spark, sf_dir):
+    """Renewal-corrected revisit scheduling (snapshots.
+    freshness_revisit): per-url Poisson change-rate estimate (Cho &
+    Garcia-Molina 2003, the -ln((n-X+.5)/(n+.5)) estimator) and the
+    clamped 1/lambda revisit interval, over a multi-version
+    observation log with NONUNIFORM per-url gaps (gap depends on
+    doc_id%7) so mean_gap_days genuinely varies. Single-observation
+    urls (doc_id%3==0) have no transition evidence and are excluded,
+    exactly as in the operator contract."""
+    pages = pages_from_documents(spark, sf_dir)
+    obs = pages.select(
+        "url", "doc_id", "warc_ts",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+    ).select(
+        "url",
+        F.timestamp_add(
+            "MINUTE",
+            (F.col("v") * (60 + (F.col("doc_id") % 7) * 30)).cast("int"),
+            F.col("warc_ts"),
+        ).alias("snap_ts"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("url"),
+                F.when(F.col("doc_id") % 2 == 0, F.col("v"))
+                .otherwise(F.floor(F.col("v") / 2))
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+    return snap_ops.freshness_revisit(obs, min_days=1.0, max_days=90.0)
+
+
+SQL_FRESHNESS_REVISIT = (
+    _pages_cte()
+    + """
+    , obs AS (
+        SELECT url,
+               warc_ts + g.v * (60 + (doc_id % 7) * 30)
+                   * INTERVAL 1 MINUTE AS snap_ts,
+               md5(url || ':' || CAST(CAST(
+                   CASE WHEN doc_id % 2 = 0 THEN g.v
+                        ELSE g.v // 2 END AS BIGINT) AS VARCHAR))
+                   AS fp
+        FROM pages, (SELECT unnest(range(0, 3)) AS v) g
+        WHERE g.v <= doc_id % 3
+    )
+    , lagged AS (
+        SELECT url, snap_ts, fp,
+               lag(fp) OVER (PARTITION BY url ORDER BY snap_ts)
+                   AS prev_fp
+        FROM obs
+    )
+    , per AS (
+        SELECT url,
+               count(*) - 1 AS n_trans,
+               count(CASE WHEN prev_fp IS NOT NULL
+                          AND prev_fp <> fp THEN 1 END) AS n_changes,
+               (epoch(max(snap_ts)) - epoch(min(snap_ts))) / 86400.0
+                   AS span_days
+        FROM lagged GROUP BY url
+    )
+    SELECT url, n_trans, n_changes,
+           round(span_days / n_trans, 6) AS mean_gap_days,
+           round(-ln((n_trans - n_changes + 0.5) / (n_trans + 0.5))
+                 / (span_days / n_trans), 6) AS lambda_hat,
+           CASE WHEN n_changes > 0 THEN
+               round(least(greatest(
+                 1.0 / (-ln((n_trans - n_changes + 0.5) / (n_trans + 0.5))
+                        / (span_days / n_trans)), 1.0), 90.0), 4)
+           ELSE 90.0 END AS revisit_days
+    FROM per WHERE n_trans >= 1
+"""
+)
+
+
+def q_alpha_mix(spark, sf_dir):
+    """Temperature-scaled mixture shares (sampling.alpha_mix_shares,
+    alpha=0.5): per-host token counts -> share_h = tok_h^0.5 /
+    sum(tok^0.5) and the implied per-host epoch count under a
+    corpus-sized budget — the policy table token_budget_mix consumes.
+    The oracle replays pow/sum/round in SQL; all math is IEEE double
+    on exact integer token counts."""
+    pages = pages_from_documents(spark, sf_dir)
+    toks = pages.select(
+        "host",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return alpha_mix_shares(toks, "host", "n_tok", alpha=0.5)
+
+
+SQL_ALPHA_MIX = (
+    _pages_cte()
+    + r"""
+    , toks AS (
+        SELECT host,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tok
+        FROM pages
+    )
+    , g AS (
+        SELECT host, CAST(sum(n_tok) AS DOUBLE) AS tok_g
+        FROM toks GROUP BY host
+    )
+    , p AS (SELECT host, tok_g, pow(tok_g, 0.5) AS pw FROM g)
+    , tot AS (SELECT sum(pw) AS z, sum(tok_g) AS tok_all FROM p)
+    SELECT host, CAST(tok_g AS BIGINT) AS tokens,
+           round(pw / z, 6) AS share,
+           round((pw / z) * tok_all / tok_g, 6) AS epochs
+    FROM p CROSS JOIN tot
+"""
+)
+
+
+def q_cdx_export(spark, sf_dir):
+    """CDXJ index lines (warc.cdx_records): per-capture
+    `<surt> <ts14> <json>` with SURT host-reversal keys — the lookup
+    INDEX member of the archive family (WARC records / WAT metadata /
+    WET text / CDX index). The hash gate pins the exact line bytes,
+    including the SURT transform and the hand-assembled JSON."""
+    pages = pages_from_documents(spark, sf_dir)
+    return wc.cdx_records(pages).select("surt", "cdx_ts", "cdx_line")
+
+
+SQL_CDX_EXPORT = (
+    _pages_cte()
+    + r"""
+    , s AS (
+        SELECT url, host, text, warc_ts,
+               array_to_string(
+                   list_reverse(string_split(lower(host), '.')), ',')
+               || ')'
+               || CASE WHEN regexp_replace(
+                          url, '^[a-z][a-z0-9+.-]*://[^/]*', '') = ''
+                       THEN '/'
+                       ELSE regexp_replace(
+                          url, '^[a-z][a-z0-9+.-]*://[^/]*', '') END
+                   AS surt,
+               strftime(warc_ts, '%Y%m%d%H%M%S') AS cdx_ts
+        FROM pages
+    )
+    SELECT surt, cdx_ts,
+           surt || ' ' || cdx_ts || ' {"url":"' || url
+           || '","digest":"md5:' || md5(coalesce(text, ''))
+           || '","length":'
+           || CAST(length(coalesce(text, '')) AS VARCHAR) || '}'
+               AS cdx_line
+    FROM s
+"""
+)
+
+
+def q_discovery_yield(spark, sf_dir):
+    """Per-host frontier value (hoststats.discovery_yield): docs
+    doc_id<400 are the fetched snapshot; their outlinks (the
+    extract_links set: next1, next2, one offsite) are NEW when not
+    themselves fetched urls — link targets with id >= 400 and the
+    offsite url. discovery_yield = distinct new links per fetched
+    page, offsite_frac separates frontier expansion from
+    self-cover."""
+    pages = pages_from_documents(spark, sf_dir).filter(
+        F.col("doc_id") < 400
+    )
+    links = (
+        pages.select("host", F.col("next1_url").alias("link"))
+        .unionByName(
+            pages.select("host", F.col("next2_url").alias("link"))
+        )
+        .unionByName(
+            pages.select(
+                "host", F.lit("http://offsite.example/x").alias("link")
+            )
+        )
+    )
+    return hs.discovery_yield(pages, links)
+
+
+SQL_DISCOVERY_YIELD = (
+    _pages_cte()
+    + r"""
+    , fetched AS (SELECT * FROM pages WHERE doc_id < 400)
+    , links AS (
+        SELECT host, next1_url AS link FROM fetched
+        UNION ALL SELECT host, next2_url FROM fetched
+        UNION ALL SELECT host, 'http://offsite.example/x' FROM fetched
+    )
+    , dl AS (SELECT DISTINCT host, link FROM links)
+    , newl AS (
+        SELECT d.host,
+               count(*) AS n_new_links,
+               avg(CASE WHEN regexp_extract(
+                            d.link, '^[a-z]+://([^/]+)', 1) <> d.host
+                        THEN 1.0 ELSE 0.0 END) AS offsite_frac
+        FROM dl d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM fetched f WHERE f.url = d.link)
+        GROUP BY d.host
+    )
+    , per AS (
+        SELECT host, count(*) AS n_pages FROM fetched GROUP BY host
+    )
+    SELECT p.host, p.n_pages,
+           coalesce(n.n_new_links, 0) AS n_new_links,
+           round(coalesce(n.offsite_frac, 0.0), 6) AS offsite_frac,
+           round(coalesce(n.n_new_links, 0)
+                 / CAST(p.n_pages AS DOUBLE), 6) AS discovery_yield
+    FROM per p LEFT JOIN newl n ON p.host = n.host
+"""
+)
+
+
+# ===========================================================================
 # Registry
 # ===========================================================================
 
@@ -5262,6 +5581,13 @@ _QUERIES_BY_FAMILY = {
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "wat_export": (q_wat_export, SQL_WAT_EXPORT),
     "frontier_merge": (q_frontier_merge, SQL_FRONTIER_MERGE),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "term_search": (q_term_search, SQL_TERM_SEARCH),
+    "shard_rendezvous": (q_shard_rendezvous, SQL_SHARD_RENDEZVOUS),
+    "freshness_revisit": (q_freshness_revisit, SQL_FRESHNESS_REVISIT),
+    "alpha_mix": (q_alpha_mix, SQL_ALPHA_MIX),
+    "cdx_export": (q_cdx_export, SQL_CDX_EXPORT),
+    "discovery_yield": (q_discovery_yield, SQL_DISCOVERY_YIELD),
 }
 
 # ---------------------------------------------------------------------------

@@ -244,6 +244,8 @@ _LAZY_QUERIES = [
     # round-3 additions
     "delta_admit", "trap_hosts", "host_reputation",
     "ngram_counts", "wat_export", "frontier_merge",
+    "inverted_index", "term_search", "shard_rendezvous",
+    "freshness_revisit", "alpha_mix", "cdx_export", "discovery_yield",
 ]
 
 
