@@ -148,6 +148,10 @@ SQL_BENCH_QUERIES = [
     "alpha_mix",
     "cdx_export",
     "discovery_yield",
+    "bm25_search",
+    "hits_rank",
+    "opic_priority",
+    "param_significance",
 ]
 
 

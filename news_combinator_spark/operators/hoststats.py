@@ -179,3 +179,96 @@ def discovery_yield(
             6,
         ).alias("discovery_yield"),
     )
+
+
+def param_significance(
+    requests: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    min_support: int = 2,
+) -> DataFrame:
+    """Which URL query parameters actually change content, per host —
+    the DUST signal ("Do Not Crawl in the DUST: Different URLs with
+    Similar Text", Bar-Yossef et al., WWW 2007) that lets a frontier
+    collapse session-id / tracking parameters BEFORE fetching instead
+    of deduplicating after.
+
+    Input: (url, fp) request log rows where fp fingerprints the
+    fetched content. For each (host, param), urls carrying the param
+    are grouped by their STRIPPED form (the url with that key=value
+    pair removed); only groups the param actually multiplies
+    (>= 2 urls) are evidence. Within those groups:
+
+        n_groups  stripped-url groups with >= 2 urls
+        n_urls    urls across those groups
+        n_fp      sum over groups of distinct content fingerprints
+
+    A parameter whose groups each serve ONE content (n_fp == n_groups)
+    is INSIGNIFICANT — stripping it merges urls without merging
+    distinct content; any within-group content variation
+    (n_fp > n_groups) keeps it significant. The within-group
+    comparison is what makes the signal robust to co-occurring
+    parameters: a session id stays insignificant even when every url
+    also carries a genuinely significant paging parameter.
+    (host, param) pairs with fewer than ``min_support`` urls in
+    evidence groups are dropped.
+
+    The strip is literal-string surgery on the url's own `key=value`
+    pair (each key assumed at most once per url, the overwhelmingly
+    common shape), so the whole operator is built-in string/agg
+    expressions: one explode of query pairs, then two map-side-
+    combined groupBys — (host, param, stripped) is request-log
+    cardinality, (host, param) is tiny. No window, no Python.
+    """
+    q = F.regexp_extract(F.col(url_col), r"\?(.*)$", 1)
+    pairs = requests.select(
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("fp"),
+        F.regexp_extract(
+            F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1
+        ).alias("host"),
+        F.explode(F.split(q, "&")).alias("pair"),
+    ).filter(F.col("pair") != "")
+    # remove the pair: '&k=v' anywhere after the first param; then a
+    # leading '?k=v&' promotes the next param; a bare '?k=v' tail drops
+    stripped = F.replace(
+        F.replace(
+            F.replace(
+                F.col("url"),
+                F.concat(F.lit("&"), F.col("pair")),
+                F.lit(""),
+            ),
+            F.concat(F.lit("?"), F.col("pair"), F.lit("&")),
+            F.lit("?"),
+        ),
+        F.concat(F.lit("?"), F.col("pair")),
+        F.lit(""),
+    )
+    keyed = pairs.select(
+        "url",
+        "fp",
+        "host",
+        F.regexp_extract("pair", r"^([^=]*)", 1).alias("param"),
+        stripped.alias("stripped"),
+    )
+    grp = (
+        keyed.groupBy("host", "param", "stripped")
+        .agg(
+            F.countDistinct("url").alias("g_urls"),
+            F.countDistinct("fp").alias("g_fps"),
+        )
+        .filter(F.col("g_urls") >= 2)
+    )
+    agg = grp.groupBy("host", "param").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("g_urls").alias("n_urls"),
+        F.sum("g_fps").alias("n_fp"),
+    )
+    return agg.filter(F.col("n_urls") >= min_support).select(
+        "host",
+        "param",
+        "n_groups",
+        "n_urls",
+        "n_fp",
+        (F.col("n_fp") > F.col("n_groups")).alias("significant"),
+    )

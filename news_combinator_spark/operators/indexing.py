@@ -33,7 +33,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["term_doc_tf", "term_postings", "conjunctive_search"]
+__all__ = [
+    "term_doc_tf",
+    "term_postings",
+    "conjunctive_search",
+    "bm25_search",
+]
 
 
 def term_doc_tf(
@@ -116,4 +121,74 @@ def conjunctive_search(
         )
         .filter(F.col("n_hit") == len(want))
         .select("doc", "score")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Disjunctive (OR) retrieval ranked by Okapi BM25: (doc, n_hit,
+    score) for every document matching AT LEAST ONE query term.
+
+    Per matched (term, doc):
+
+        idf  = ln((N - df + 0.5) / (df + 0.5) + 1)          [Lucene's
+               always-positive variant of the Robertson idf]
+        part = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    where N = corpus document count, df = documents containing the
+    term, dl = document token length, avgdl = mean token length —
+    all derived from the same (term, doc, tf) aggregate the index is
+    built from, so ranking needs NO second tokenization pass.
+
+    Scale shape: corpus stats (N, avgdl) reduce to one broadcast
+    scalar row; per-term df is an aggregate over the query terms'
+    postings only (the isin filter sits below the shuffle, same as
+    conjunctive_search); the scoring join touches |docs matching any
+    query term| rows. Scores are rounded to 6 decimals so the ranking
+    is reproducible cross-engine in IEEE double.
+    """
+    want = [t.lower() for t in terms]
+    per_all = term_doc_tf(df, text_col, doc_col)
+
+    doclen = per_all.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    hits = per_all.filter(F.col("term").isin(want))
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.round(F.sum("part"), 6).alias("score"),
     )

@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["page_rank", "host_rank", "anchor_text_profile"]
+__all__ = [
+    "page_rank",
+    "host_rank",
+    "anchor_text_profile",
+    "hits_rank",
+    "opic_priority",
+]
 
 
 def page_rank(
@@ -195,4 +201,216 @@ def host_rank(
         F.sum("rank").alias("total_rank"),
         F.avg("rank").alias("mean_rank"),
         F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
+def hits_rank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_iters: int = 5,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Kleinberg HITS over an edge list: (node, hub, authority).
+
+    Per iteration (synchronous, the standard formulation):
+
+        auth(v) = sum over u->v of hub(u),   then L2-normalize auths
+        hub(u)  = sum over u->v of auth(v),  then L2-normalize hubs
+
+    Multi-edges count with multiplicity, matching page_rank and the
+    link extractor's multiset output. Nodes = union of endpoints;
+    initial hub = auth = 1/sqrt(n) (unit L2 norm). PageRank measures
+    one global importance; HITS separates DIRECTORY pages (hubs —
+    index/section pages whose value is what they point at) from
+    CONTENT pages (authorities) — exactly the split a crawl scheduler
+    wants, because a high-hub page is worth re-crawling for
+    DISCOVERY (its links churn) while a high-authority page is worth
+    re-crawling for CONTENT.
+
+    Scale shape mirrors page_rank: the edge list is repartitioned by
+    join key once and localCheckpoint'ed; per iteration only the
+    (node, score) frame shuffles, the contribution sum is map-side
+    combined, and the L2 norm is a 1-row aggregate broadcast back.
+    Scores are checkpointed every ``checkpoint_every`` iterations —
+    each round references them twice (contribution + norm), so an
+    uncheckpointed chain doubles per iteration.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+
+    e_by_src = e.repartition("src").localCheckpoint()
+
+    init = 1.0 / (n ** 0.5)
+    scores = nodes.select(
+        "node", F.lit(init).alias("hub"), F.lit(init).alias("auth")
+    )
+
+    def _l2_normalized(frame: DataFrame, col: str) -> DataFrame:
+        norm = frame.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+        )
+        return frame.crossJoin(F.broadcast(norm)).select(
+            *[c for c in frame.columns if c != col],
+            F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    for i in range(num_iters):
+        auth_c = (
+            e_by_src.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth_raw"))
+        )
+        with_auth = _l2_normalized(
+            scores.drop("auth")
+            .join(
+                auth_c.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node", "hub",
+                F.coalesce("auth_raw", F.lit(0.0)).alias("auth"),
+            ),
+            "auth",
+        )
+        hub_c = (
+            e_by_src.join(
+                with_auth.select(F.col("node").alias("dst"), "auth"),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub_raw"))
+        )
+        scores = _l2_normalized(
+            with_auth.drop("hub")
+            .join(
+                hub_c.withColumnRenamed("src", "node"), "node", "left"
+            )
+            .select(
+                "node", "auth",
+                F.coalesce("hub_raw", F.lit(0.0)).alias("hub"),
+            ),
+            "hub",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+
+    return scores.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("authority"),
+    )
+
+
+def opic_priority(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_rounds: int = 5,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003) in synchronous batch form: (node, cash,
+    history, priority).
+
+    OPIC is the crawl-native importance measure: each page holds
+    CASH; "crawling" a page moves its cash into its HISTORY and
+    distributes an equal share to every outlink. Unlike PageRank it
+    needs no damping factor and its running estimate
+    priority = (history + cash) / (rounds + 1) converges while the
+    crawl is still in flight — which is why real frontiers use it to
+    order FETCHES rather than waiting for a converged offline rank.
+
+    Batch semantics here: every round, ALL nodes are "crawled" at
+    once — history += cash, and next cash = sum of in-neighbor
+    shares. Cash on dangling nodes (out-degree 0) goes to the virtual
+    root and is redistributed uniformly, preserving total cash of
+    1.0 every round (the paper's virtual-page construction).
+
+    Scale shape identical to page_rank: edge list keyed+checkpointed
+    once; per-round shuffles carry only (node, cash, history); the
+    dangling sum is a broadcast scalar.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return (
+            nodes.withColumn("cash", F.lit(0.0))
+            .withColumn("history", F.lit(0.0))
+            .withColumn("priority", F.lit(0.0))
+        )
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_norm = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    dang_nodes = nodes.join(
+        deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).localCheckpoint()
+
+    state = nodes.select(
+        "node",
+        F.lit(1.0 / n).alias("cash"),
+        F.lit(0.0).alias("history"),
+    )
+
+    for i in range(num_rounds):
+        contrib = (
+            e_norm.join(
+                state.select(F.col("node").alias("src"), "cash"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") * F.col("w")).alias("inflow"))
+        )
+        dang = state.join(
+            dang_nodes.select("node"), "node", "left_semi"
+        ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dm"))
+        state = (
+            state.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.coalesce("inflow", F.lit(0.0))
+                    + F.col("dm") / n
+                ).alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint()
+
+    return state.select(
+        "node",
+        F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+        F.round(
+            (F.col("history") + F.col("cash")) / (num_rounds + 1.0), 6
+        ).alias("priority"),
     )

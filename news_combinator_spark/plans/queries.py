@@ -5460,6 +5460,321 @@ SQL_DISCOVERY_YIELD = (
 )
 
 
+
+
+# ===========================================================================
+# Round-3 additions, third batch: BM25 ranked retrieval, HITS, OPIC,
+# URL-parameter significance (DUST)
+# ===========================================================================
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 disjunctive retrieval (indexing.bm25_search) for
+    {vector, stream, window} over the doc corpus: per matching doc the
+    matched-term count and the summed BM25 part score (Lucene idf
+    variant, k1=1.2, b=0.75). Corpus stats (N, avgdl) reduce to one
+    broadcast scalar; df is aggregated over the query terms' postings
+    only. The oracle replays the identical ln/division structure, both
+    engines rounding the final sum at 6 dp."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ix.bm25_search(docs, ["vector", "stream", "window"])
+
+
+SQL_BM25_SEARCH = r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    per AS (
+      SELECT term, doc, count(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY term, doc
+    ),
+    dl AS (SELECT doc, sum(tf) AS dl FROM per GROUP BY doc),
+    st AS (
+      SELECT cast(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      FROM dl
+    ),
+    hits AS (
+      SELECT * FROM per
+      WHERE term IN ('vector', 'stream', 'window')
+    ),
+    dfq AS (
+      SELECT term, cast(count(*) AS DOUBLE) AS df
+      FROM hits GROUP BY term
+    )
+    SELECT h.doc, count(*) AS n_hit,
+           round(sum(
+             ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (h.tf * 2.2)
+             / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+           ), 6) AS score
+    FROM hits h
+    JOIN dfq ON h.term = dfq.term
+    JOIN dl ON h.doc = dl.doc
+    CROSS JOIN st
+    GROUP BY h.doc
+"""
+
+
+def q_hits_rank(spark, sf_dir):
+    """Kleinberg HITS (linkgraph.hits_rank, 3 iterations) over the
+    EXTRACTED link graph — same edge derivation as link_rank
+    (links_udf over html binary, .test suffix gate), separating hub
+    pages (worth re-crawling for link discovery) from authorities
+    (worth re-crawling for content). The oracle unrolls the 3
+    synchronous iterations — contribution sum, L2 normalization —
+    as chained CTEs; both engines round at 6 dp."""
+    pages = pages_from_documents(spark, sf_dir)
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("html"))).alias("dst"),
+    ).filter(F.parse_url("dst", F.lit("HOST")).endswith(".test"))
+    out = lg.hits_rank(edges, num_iters=3)
+    return out.select(F.col("node").alias("url"), "hub", "authority")
+
+
+def _hits_oracle_sql(num_iters: int = 3) -> str:
+    parts = [
+        _pages_cte(),
+        """
+        , e AS (
+            SELECT url AS src, next1_url AS dst FROM pages
+            UNION ALL
+            SELECT url AS src, next2_url AS dst FROM pages
+        )
+        , nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e
+            )
+        )
+        , nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes)
+        , hs0 AS (
+            SELECT node, 1.0 / sqrt(nn.n) AS hub
+            FROM nodes CROSS JOIN nn
+        )
+        """,
+    ]
+    for k in range(1, num_iters + 1):
+        parts.append(f"""
+        , ar{k} AS (
+            SELECT nodes.node, coalesce(c.s, 0.0) AS a
+            FROM nodes LEFT JOIN (
+                SELECT e.dst, sum(h.hub) AS s
+                FROM e JOIN hs{k - 1} h ON e.src = h.node
+                GROUP BY e.dst
+            ) c ON nodes.node = c.dst
+        )
+        , an{k} AS (SELECT sqrt(sum(a * a)) AS nrm FROM ar{k})
+        , as{k} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN nrm > 0 THEN a / nrm ELSE 0.0 END AS auth
+            FROM ar{k} CROSS JOIN an{k}
+        )
+        , hr{k} AS (
+            SELECT nodes.node, coalesce(c.s, 0.0) AS h
+            FROM nodes LEFT JOIN (
+                SELECT e.src, sum(a.auth) AS s
+                FROM e JOIN as{k} a ON e.dst = a.node
+                GROUP BY e.src
+            ) c ON nodes.node = c.src
+        )
+        , hn{k} AS (SELECT sqrt(sum(h * h)) AS nrm FROM hr{k})
+        , hs{k} AS MATERIALIZED (
+            SELECT hr{k}.node,
+                   CASE WHEN nrm > 0 THEN h / nrm ELSE 0.0 END AS hub,
+                   a.auth
+            FROM hr{k} CROSS JOIN hn{k}
+            JOIN as{k} a ON hr{k}.node = a.node
+        )
+        """)
+    parts.append(
+        f"""SELECT node AS url, round(hub, 6) AS hub,
+               round(auth, 6) AS authority FROM hs{num_iters}"""
+    )
+    return "".join(parts)
+
+
+SQL_HITS_RANK = _hits_oracle_sql()
+
+
+def q_opic_priority(spark, sf_dir):
+    """OPIC cash/history crawl priority (linkgraph.opic_priority, 4
+    synchronous rounds) over the PARTIALLY-crawled link graph: pages
+    with doc_id % 11 == 0 are uncrawled frontier leaves, so their
+    urls appear only as link TARGETS — out-degree-0 sinks whose cash
+    drains to the virtual root and is redistributed uniformly,
+    exercising the paper's dangling construction. The oracle unrolls
+    all 4 rounds as CTEs; both engines round at 6 dp."""
+    pages = pages_from_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 11 != 0
+    )
+    edges = pages.select(
+        F.col("url").alias("src"),
+        F.explode(links_udf(F.col("html"))).alias("dst"),
+    ).filter(F.parse_url("dst", F.lit("HOST")).endswith(".test"))
+    out = lg.opic_priority(edges, num_rounds=4)
+    return out.select(
+        F.col("node").alias("url"), "cash", "history", "priority"
+    )
+
+
+def _opic_oracle_sql(num_rounds: int = 4) -> str:
+    parts = [
+        _pages_cte(),
+        """
+        , crawled AS (SELECT * FROM pages WHERE doc_id % 11 <> 0)
+        , e AS (
+            SELECT url AS src, next1_url AS dst FROM crawled
+            UNION ALL
+            SELECT url AS src, next2_url AS dst FROM crawled
+        )
+        , nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e
+            )
+        )
+        , nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes)
+        , deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)
+        , en AS (
+            SELECT e.src, e.dst, 1.0 / deg.out_deg AS w
+            FROM e JOIN deg ON e.src = deg.src
+        )
+        , s0 AS (
+            SELECT node, 1.0 / nn.n AS cash, 0.0 AS hist
+            FROM nodes CROSS JOIN nn
+        )
+        """,
+    ]
+    for k in range(1, num_rounds + 1):
+        parts.append(f"""
+        , d{k} AS MATERIALIZED (
+            SELECT coalesce(sum(s.cash), 0.0) AS dm
+            FROM s{k - 1} s
+            WHERE s.node NOT IN (SELECT src FROM deg)
+        )
+        , s{k} AS MATERIALIZED (
+            SELECT s.node,
+                   coalesce(c.inflow, 0.0) + d{k}.dm / nn.n AS cash,
+                   s.hist + s.cash AS hist
+            FROM s{k - 1} s
+            LEFT JOIN (
+                SELECT en.dst, sum(s2.cash * en.w) AS inflow
+                FROM en JOIN s{k - 1} s2 ON en.src = s2.node
+                GROUP BY en.dst
+            ) c ON s.node = c.dst
+            CROSS JOIN d{k} CROSS JOIN nn
+        )
+        """)
+    parts.append(f"""
+        SELECT node AS url, round(cash, 6) AS cash,
+               round(hist, 6) AS history,
+               round((hist + cash) / {num_rounds + 1}.0, 6) AS priority
+        FROM s{num_rounds}
+    """)
+    return "".join(parts)
+
+
+SQL_OPIC_PRIORITY = _opic_oracle_sql()
+
+
+def q_param_significance(spark, sf_dir):
+    """URL-parameter significance mining (hoststats.
+    param_significance): a synthetic request log carries each page
+    url three times with a session parameter and twice with a paging
+    parameter (`url?sid=sV&pg=P` and `url?pg=P`), where content
+    fingerprints vary with pg but not sid. The operator's
+    within-stripped-group comparison must mark sid insignificant and
+    pg significant even though both co-occur on the same urls; the
+    oracle replays the pair explode, the literal-replace strip, and
+    both aggregation levels."""
+    pages = pages_from_documents(spark, sf_dir)
+    base = pages.select(
+        "url",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v"),
+    )
+    fp = F.md5(
+        F.concat_ws(":", F.col("text"), (F.col("v") % 2).cast("string"))
+    )
+    reqs = base.select(
+        F.concat(
+            F.col("url"),
+            F.lit("?sid=s"),
+            F.col("v").cast("string"),
+            F.lit("&pg="),
+            (F.col("v") % 2).cast("string"),
+        ).alias("url"),
+        fp.alias("fp"),
+    ).unionByName(
+        base.select(
+            F.concat(
+                F.col("url"),
+                F.lit("?pg="),
+                (F.col("v") % 2).cast("string"),
+            ).alias("url"),
+            fp.alias("fp"),
+        )
+    )
+    return hs.param_significance(reqs, min_support=2)
+
+
+SQL_PARAM_SIGNIFICANCE = (
+    _pages_cte()
+    + r"""
+    , g AS (SELECT unnest(range(0, 3)) AS v)
+    , reqs AS (
+        SELECT url || '?sid=s' || CAST(v AS VARCHAR)
+                   || '&pg=' || CAST(v % 2 AS VARCHAR) AS url,
+               md5(text || ':' || CAST(v % 2 AS VARCHAR)) AS fp
+        FROM pages CROSS JOIN g
+        UNION ALL
+        SELECT url || '?pg=' || CAST(v % 2 AS VARCHAR) AS url,
+               md5(text || ':' || CAST(v % 2 AS VARCHAR)) AS fp
+        FROM pages CROSS JOIN g
+    )
+    , pairs AS (
+        SELECT url, fp,
+               regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+               unnest(string_split(
+                   regexp_extract(url, '\?(.*)$', 1), '&')) AS pair
+        FROM reqs
+    )
+    , keyed AS (
+        SELECT url, fp, host,
+               regexp_extract(pair, '^([^=]*)', 1) AS param,
+               replace(replace(replace(url,
+                   '&' || pair, ''),
+                   '?' || pair || '&', '?'),
+                   '?' || pair, '') AS stripped
+        FROM pairs WHERE pair <> ''
+    )
+    , grp AS (
+        SELECT host, param, stripped,
+               count(DISTINCT url) AS g_urls,
+               count(DISTINCT fp) AS g_fps
+        FROM keyed GROUP BY host, param, stripped
+        HAVING count(DISTINCT url) >= 2
+    )
+    , agg AS (
+        SELECT host, param,
+               count(*) AS n_groups,
+               sum(g_urls) AS n_urls,
+               sum(g_fps) AS n_fp
+        FROM grp GROUP BY host, param
+    )
+    SELECT host, param, n_groups,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           n_fp > n_groups AS significant
+    FROM agg WHERE n_urls >= 2
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -5588,6 +5903,10 @@ _QUERIES_BY_FAMILY = {
     "alpha_mix": (q_alpha_mix, SQL_ALPHA_MIX),
     "cdx_export": (q_cdx_export, SQL_CDX_EXPORT),
     "discovery_yield": (q_discovery_yield, SQL_DISCOVERY_YIELD),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "hits_rank": (q_hits_rank, SQL_HITS_RANK),
+    "opic_priority": (q_opic_priority, SQL_OPIC_PRIORITY),
+    "param_significance": (q_param_significance, SQL_PARAM_SIGNIFICANCE),
 }
 
 # ---------------------------------------------------------------------------

@@ -246,6 +246,7 @@ _LAZY_QUERIES = [
     "ngram_counts", "wat_export", "frontier_merge",
     "inverted_index", "term_search", "shard_rendezvous",
     "freshness_revisit", "alpha_mix", "cdx_export", "discovery_yield",
+    "bm25_search", "hits_rank", "opic_priority", "param_significance",
 ]
 
 
