@@ -152,6 +152,10 @@ SQL_BENCH_QUERIES = [
     "hits_rank",
     "opic_priority",
     "param_significance",
+    "phrase_search",
+    "path_profile",
+    "reciprocal_hosts",
+    "stale_robots",
 ]
 
 

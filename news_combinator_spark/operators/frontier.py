@@ -1086,3 +1086,46 @@ def resume_crawl(
         fetch_order_base=int(meta.get("n_fetched", 0)),
         **crawl_kwargs,
     )
+
+
+def stale_robots(
+    robots_log: DataFrame,
+    scheduled: DataFrame,
+    now,
+    ttl_hours: float = 24.0,
+    host_col: str = "host",
+    ts_col: str = "fetched_ts",
+) -> DataFrame:
+    """Which hosts need a robots.txt refetch BEFORE this round may
+    fetch from them: (host, robots_age_hours, reason) for every host
+    in ``scheduled`` whose newest robots fetch in ``robots_log`` is
+    older than ``ttl_hours`` ('expired') or absent ('never_fetched').
+
+    RFC 9309 §2.4 allows caching robots.txt up to 24 hours; a crawler
+    that schedules against an expired ruleset risks fetching newly
+    disallowed paths, so the refresh set is a per-round admission
+    input exactly like the politeness budgets. Shape: one
+    map-side-combined max per host over the log, one distinct on the
+    round's hosts, one equi-join at host cardinality — never a scan
+    of page-level data.
+    """
+    latest = robots_log.groupBy(
+        F.col(host_col).alias("host")
+    ).agg(F.max(ts_col).alias("last_fetch"))
+    hosts = scheduled.select(
+        F.col(host_col).alias("host")
+    ).dropDuplicates(["host"])
+    now_col = F.lit(now).cast("timestamp")
+    age_h = (
+        now_col.cast("double") - F.col("last_fetch").cast("double")
+    ) / 3600.0
+    joined = hosts.join(latest, "host", "left")
+    return joined.filter(
+        F.col("last_fetch").isNull() | (age_h > ttl_hours)
+    ).select(
+        "host",
+        F.round(age_h, 4).alias("robots_age_hours"),
+        F.when(F.col("last_fetch").isNull(), F.lit("never_fetched"))
+        .otherwise(F.lit("expired"))
+        .alias("reason"),
+    )

@@ -272,3 +272,57 @@ def param_significance(
         "n_fp",
         (F.col("n_fp") > F.col("n_groups")).alias("significant"),
     )
+
+
+def path_profile(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Site-structure rollup: per (host, path prefix, depth) the page
+    count, total text bytes, and distinct content fingerprints, for
+    every prefix up to ``max_depth`` segments — the map a crawl
+    operator reads to SCOPE a crawl ("/a/ is the article tree, 2M
+    pages; /tag/ is 40M near-empty pages") and the denominator for
+    directory-level include/exclude rules.
+
+    Each url contributes one row per ancestor prefix (<= max_depth,
+    a constant), emitted by exploding a sequence of slash positions —
+    pure JVM expressions, then ONE map-side-combined groupBy at
+    (host, prefix) cardinality. No window, no Python, no second scan.
+    """
+    path = F.regexp_replace(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
+    )
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    segs = F.split(path, "/")  # leading '' element for the root slash
+    # guard: sequence(1, stop) DESCENDS when stop < 1, so a root-path
+    # url ('/', one segment) must yield no prefixes, not [1, 0]
+    depths = F.when(
+        F.size(segs) >= 3,
+        F.sequence(F.lit(1), F.least(F.lit(max_depth), F.size(segs) - 2)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    rows = pages.select(
+        F.regexp_extract(
+            F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1
+        ).alias("host"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("nbytes"),
+        segs.alias("segs"),
+        F.explode(depths).alias("depth"),
+    ).select(
+        "host",
+        "fp",
+        "nbytes",
+        "depth",
+        F.concat(
+            F.array_join(F.slice("segs", 1, F.col("depth") + 1), "/"),
+            F.lit("/"),
+        ).alias("prefix"),
+    )
+    return rows.groupBy("host", "prefix", "depth").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )

@@ -192,3 +192,54 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_hit"),
         F.round(F.sum("part"), 6).alias("score"),
     )
+
+
+def term_positions(
+    df: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc, pos): zero-based token offsets — the positional
+    layer of the inverted index (what phrase and proximity queries
+    consume). posexplode keeps the offset assignment inside the JVM
+    row pipeline; no shuffle until the consumer aggregates."""
+    return df.select(
+        F.col(doc_col).alias("doc"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval: (doc, n_occurrences) for documents
+    containing the tokens of ``phrase`` consecutively, resolved as
+    the standard positional-postings merge — the position lists of
+    term_i and term_{i+1} equi-join on (doc, pos + 1).
+
+    Scale shape: the per-term position frames are filtered to the
+    query terms BEFORE any shuffle (rare-term selectivity applies to
+    every join input), each join key is (doc, pos) — uniformly
+    distributed, no skew — and the final count is one map-side-
+    combined groupBy. A k-word phrase costs k-1 equi-joins over
+    postings-sized frames, never a rescan of the corpus.
+    """
+    want = [t.lower() for t in phrase]
+    if not want:
+        raise ValueError("phrase must have at least one term")
+    pos = term_positions(df, text_col, doc_col)
+    cur = (
+        pos.filter(F.col("term") == want[0])
+        .select("doc", F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(want[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc", "p0"])
+    return cur.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

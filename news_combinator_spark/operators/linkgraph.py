@@ -35,6 +35,7 @@ __all__ = [
     "anchor_text_profile",
     "hits_rank",
     "opic_priority",
+    "reciprocal_hosts",
 ]
 
 
@@ -413,4 +414,52 @@ def opic_priority(
         F.round(
             (F.col("history") + F.col("cash")) / (num_rounds + 1.0), 6
         ).alias("priority"),
+    )
+
+
+def reciprocal_hosts(
+    edges: DataFrame,
+    *,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    min_out: int = 1,
+) -> DataFrame:
+    """Link-exchange signal: per host, how much of its cross-host
+    linking is RECIPROCATED — (host, n_out_hosts, n_reciprocal,
+    reciprocity). Organic linking is strongly asymmetric (news sites
+    link sources; sources don't link back), so a host whose outlink
+    partners overwhelmingly link back is the classic link-farm /
+    exchange-ring shape (TrustRank-era spam heuristic), and a crawl
+    scheduler discounts its centrality before PageRank/OPIC ever see
+    the edges.
+
+    Input rows are page-level or host-level directed edges; self
+    links are ignored and multi-edges collapse to the distinct host
+    pair. Shape: one distinct on the (a, b) pair, one self-join of
+    that deduped pair set against its own flipped form (equi-join on
+    both keys — no skew beyond true host-degree skew, which salting
+    in the caller's repartition handles), one map-side-combined
+    groupBy. Host-pair cardinality is orders below edge cardinality,
+    so the join is cheap relative to the edge scan.
+    """
+    pair = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    back = pair.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.lit(1).alias("_r")
+    ).dropDuplicates(["a", "b"])
+    marked = pair.join(back, ["a", "b"], "left")
+    agg = marked.groupBy(F.col("a").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_out_hosts"),
+        F.count("_r").alias("n_reciprocal"),
+    )
+    return agg.filter(F.col("n_out_hosts") >= min_out).select(
+        "host",
+        "n_out_hosts",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal") / F.col("n_out_hosts"), 6
+        ).alias("reciprocity"),
     )

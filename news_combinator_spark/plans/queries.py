@@ -5775,6 +5775,202 @@ SQL_PARAM_SIGNIFICANCE = (
 )
 
 
+
+
+# ===========================================================================
+# Round-3 additions, fourth batch: phrase search, site-structure
+# profile, link-exchange detection, robots TTL refresh gate
+# ===========================================================================
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval (indexing.phrase_search) for the phrase
+    "value table" via the positional-postings merge: the two terms'
+    position lists equi-join on (doc, pos + 1). Each term's positions
+    are filtered out of the token stream BEFORE any shuffle; overlap
+    semantics (a token run like 'value table ... value table') counts
+    every occurrence. The oracle zips DuckDB's unnest with
+    generate_subscripts to rebuild the same zero-based offsets."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ix.phrase_search(docs, ["value", "table"])
+
+
+SQL_PHRASE_SEARCH = r"""
+    WITH arrs AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      FROM documents WHERE doc_id < 500
+    ),
+    toks AS (
+      SELECT doc, unnest(arr) AS term,
+             generate_subscripts(arr, 1) - 1 AS pos
+      FROM arrs
+    ),
+    p0 AS (SELECT doc, pos FROM toks WHERE term = 'value'),
+    p1 AS (SELECT doc, pos - 1 AS pos FROM toks WHERE term = 'table')
+    SELECT p0.doc, count(*) AS n_occurrences
+    FROM p0 JOIN p1 ON p0.doc = p1.doc AND p0.pos = p1.pos
+    GROUP BY p0.doc
+"""
+
+
+def q_path_profile(spark, sf_dir):
+    """Site-structure rollup (hoststats.path_profile): per (host,
+    path-prefix, depth<=3) page count, text bytes, and distinct
+    content fingerprints — the map that scopes a crawl to the
+    directory trees worth budget. Every url contributes one row per
+    ancestor prefix via a constant-bounded explode; one map-side-
+    combined groupBy at (host, prefix) cardinality."""
+    pages = pages_from_documents(spark, sf_dir)
+    return hs.path_profile(pages)
+
+
+SQL_PATH_PROFILE = (
+    _pages_cte()
+    + r"""
+    , b AS (
+        SELECT regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+               md5(coalesce(text, '')) AS fp,
+               length(coalesce(text, '')) AS nbytes,
+               string_split(
+                   regexp_replace(
+                       regexp_replace(url,
+                           '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                       '[?#].*$', ''),
+                   '/') AS segs
+        FROM pages
+    )
+    , d AS (
+        SELECT host, fp, nbytes, segs,
+               CAST(unnest(range(1, least(3, len(segs) - 2) + 1))
+                    AS INT) AS depth
+        FROM b WHERE len(segs) >= 3
+    )
+    SELECT host,
+           array_to_string(segs[1:depth + 1], '/') || '/' AS prefix,
+           depth,
+           count(*) AS n_pages,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           count(DISTINCT fp) AS n_distinct_fp
+    FROM d GROUP BY host, prefix, depth
+"""
+)
+
+
+def q_reciprocal_hosts(spark, sf_dir):
+    """Link-exchange detection (linkgraph.reciprocal_hosts): the
+    host-level edge set is made deliberately ASYMMETRIC — an edge
+    survives when src_host < dst_host or when doc_id % 3 == 0 — so
+    reciprocity lands strictly between 0 and 1 per host instead of
+    the complete-graph degeneracy a 4-host fixture would otherwise
+    produce. The oracle replays the distinct-pair self-join."""
+    pages = pages_from_documents(spark, sf_dir)
+    dst1 = F.parse_url("next1_url", F.lit("HOST"))
+    dst2 = F.parse_url("next2_url", F.lit("HOST"))
+    edges = (
+        pages.select(
+            F.col("host").alias("src_host"),
+            dst1.alias("dst_host"),
+            "doc_id",
+        )
+        .unionByName(
+            pages.select(
+                F.col("host").alias("src_host"),
+                dst2.alias("dst_host"),
+                "doc_id",
+            )
+        )
+        .filter(
+            (F.col("src_host") < F.col("dst_host"))
+            | (F.col("doc_id") % 3 == 0)
+        )
+    )
+    return lg.reciprocal_hosts(edges)
+
+
+SQL_RECIPROCAL_HOSTS = (
+    _pages_cte()
+    + r"""
+    , e0 AS (
+        SELECT host AS a,
+               regexp_extract(next1_url,
+                   '^[a-z]+://([^/]+)', 1) AS b, doc_id
+        FROM pages
+        UNION ALL
+        SELECT host,
+               regexp_extract(next2_url, '^[a-z]+://([^/]+)', 1), doc_id
+        FROM pages
+    )
+    , pair AS (
+        SELECT DISTINCT a, b FROM e0
+        WHERE a <> b AND (a < b OR doc_id % 3 = 0)
+    )
+    , marked AS (
+        SELECT p.a, p.b,
+               CASE WHEN r.a IS NOT NULL THEN 1 END AS _r
+        FROM pair p
+        LEFT JOIN pair r ON p.a = r.b AND p.b = r.a
+    )
+    SELECT a AS host,
+           count(*) AS n_out_hosts,
+           count(_r) AS n_reciprocal,
+           round(count(_r) / CAST(count(*) AS DOUBLE), 6) AS reciprocity
+    FROM marked GROUP BY a
+"""
+)
+
+
+def q_stale_robots(spark, sf_dir):
+    """Robots TTL refresh gate (frontier.stale_robots, RFC 9309 S2.4
+    24h cache rule, ttl=12h here): the robots fetch log covers hosts
+    h0-h2 with per-host staggered fetch times (+0/+6/+12 hours), h3
+    never fetched. At the probe instant h0's newest fetch is expired,
+    h1/h2 are fresh (absent from output), h3 is 'never_fetched' with
+    NULL age — both reasons and the fresh path exercised in one
+    result."""
+    pages = pages_from_documents(spark, sf_dir)
+    log = pages.filter(F.col("doc_id") % 4 != 3).select(
+        "host",
+        F.timestamp_add(
+            "HOUR",
+            ((F.col("doc_id") % 4) * 6).cast("int"),
+            F.col("warc_ts"),
+        ).alias("fetched_ts"),
+    )
+    return fr.stale_robots(
+        log, pages, "2024-01-02 00:00:00", ttl_hours=12.0
+    )
+
+
+SQL_STALE_ROBOTS = (
+    _pages_cte()
+    + """
+    , log AS (
+        SELECT host,
+               warc_ts + ((doc_id % 4) * 6) * INTERVAL 1 HOUR
+                   AS fetched_ts
+        FROM pages WHERE doc_id % 4 <> 3
+    )
+    , latest AS (
+        SELECT host, max(fetched_ts) AS last_fetch
+        FROM log GROUP BY host
+    )
+    , hosts AS (SELECT DISTINCT host FROM pages)
+    , aged AS (
+        SELECT h.host, l.last_fetch,
+               (epoch(TIMESTAMP '2024-01-02 00:00:00')
+                - epoch(l.last_fetch)) / 3600.0 AS age_h
+        FROM hosts h LEFT JOIN latest l ON h.host = l.host
+    )
+    SELECT host,
+           round(age_h, 4) AS robots_age_hours,
+           CASE WHEN last_fetch IS NULL THEN 'never_fetched'
+                ELSE 'expired' END AS reason
+    FROM aged WHERE last_fetch IS NULL OR age_h > 12.0
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -5907,6 +6103,10 @@ _QUERIES_BY_FAMILY = {
     "hits_rank": (q_hits_rank, SQL_HITS_RANK),
     "opic_priority": (q_opic_priority, SQL_OPIC_PRIORITY),
     "param_significance": (q_param_significance, SQL_PARAM_SIGNIFICANCE),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "path_profile": (q_path_profile, SQL_PATH_PROFILE),
+    "reciprocal_hosts": (q_reciprocal_hosts, SQL_RECIPROCAL_HOSTS),
+    "stale_robots": (q_stale_robots, SQL_STALE_ROBOTS),
 }
 
 # ---------------------------------------------------------------------------

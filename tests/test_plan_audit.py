@@ -247,6 +247,7 @@ _LAZY_QUERIES = [
     "inverted_index", "term_search", "shard_rendezvous",
     "freshness_revisit", "alpha_mix", "cdx_export", "discovery_yield",
     "bm25_search", "hits_rank", "opic_priority", "param_significance",
+    "phrase_search", "path_profile", "reciprocal_hosts", "stale_robots",
 ]
 
 
