@@ -156,6 +156,9 @@ SQL_BENCH_QUERIES = [
     "path_profile",
     "reciprocal_hosts",
     "stale_robots",
+    "containment_pairs",
+    "host_clusters",
+    "drain_forecast",
 ]
 
 

@@ -864,3 +864,91 @@ def mirror_hosts(
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: (a, b, n_common, c_a_in_b,
+    c_b_in_a) for document pairs where either containment — shared
+    word n-shingles over one side's shingle count,
+    C(A in B) = |S(A) ∩ S(B)| / |S(A)| — reaches ``min_containment``.
+
+    Symmetric resemblance (MinHash Jaccard) misses the syndication-
+    with-additions shape: a wire story embedded in a longer page has
+    C(wire in page) ~= 1 while Jaccard can sit far below any dedup
+    threshold (Broder 1997 distinguishes exactly these two measures).
+    Containment is what a training pipeline needs to drop the
+    SUBSUMED copy and keep the superset document.
+
+    Scale shape: shingles are built with JVM array expressions (no
+    Python), deduplicated per doc, and candidate pairs come from an
+    equi-join on the shingle — with ``max_df`` dropping shingles that
+    occur in more than that many documents BEFORE the join (the same
+    saturated-key guard as minhash banding's max_bucket: a boilerplate
+    shingle would otherwise produce a df^2/2 pair blow-up). Leaving
+    ``max_df`` None keeps the join lossless for oracle-scale inputs.
+    The exact intersection count then touches only candidate pairs'
+    shingle rows, and every aggregation is map-side combined.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    sh = (
+        df.select(F.col(doc_col).alias("doc"), F.explode(grams).alias("sh"))
+        .dropDuplicates(["doc", "sh"])
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    shf = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        shf = sh.join(rare, "sh", "semi")
+    cand = (
+        shf.alias("x")
+        .join(shf.alias("y"), "sh")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("doc").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc").alias("a"), F.col("n_sh").alias("n_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b"), F.col("n_sh").alias("n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("c_a_in_b"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("c_b_in_a"),
+        )
+    )
+    return scored.filter(
+        F.greatest("c_a_in_b", "c_b_in_a") >= min_containment
+    )

@@ -1129,3 +1129,55 @@ def stale_robots(
         .otherwise(F.lit("expired"))
         .alias("reason"),
     )
+
+
+def drain_forecast(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    host_col: str = "host",
+    prio_col: str = "priority",
+) -> DataFrame:
+    """Crawl-horizon forecast: for every (host, priority class), the
+    first and last politeness round in which its URLs get fetched —
+    (host, priority, n_urls, budget, first_round, last_round).
+
+    The scheduler drains each host strictly in priority order at
+    ``budget`` URLs per round, so class p starts once all
+    higher-priority URLs are through: first_round =
+    floor(cum_before / budget) + 1, last_round =
+    ceil((cum_before + n) / budget). This is the capacity question a
+    crawl operator actually asks ("when does priority-2 backlog for
+    this host start moving?") and the input to round-count SLAs.
+
+    Shape: one map-side-combined groupBy to (host, priority)
+    cardinality, a cumulative window PARTITIONED BY HOST (bounded by
+    the priority-class count, never a global window), one
+    host-cardinality budget join.
+    """
+    from pyspark.sql import Window
+
+    counts = frontier.groupBy(host_col, prio_col).agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(prio_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("n_urls").over(w), F.lit(0))
+    )
+    joined = cum.join(budgets, host_col)
+    b = F.col("budget").cast("double")
+    return joined.select(
+        host_col,
+        prio_col,
+        "n_urls",
+        "budget",
+        (F.floor(F.col("cum_before") / b) + 1)
+        .cast("long")
+        .alias("first_round"),
+        F.ceil((F.col("cum_before") + F.col("n_urls")) / b)
+        .cast("long")
+        .alias("last_round"),
+    )

@@ -326,3 +326,31 @@ def path_profile(
         F.sum("nbytes").alias("total_bytes"),
         F.countDistinct("fp").alias("n_distinct_fp"),
     )
+
+
+def host_clusters(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Resolve pairwise host-equivalence evidence (mirror detection,
+    reciprocal rings, shared-registrant heuristics) into CLUSTERS:
+    (host, cluster, is_canonical), cluster = lexicographically
+    smallest member. The frontier treats a cluster as ONE logical
+    site — one politeness identity, one crawl of shared content —
+    instead of re-fetching every mirror.
+
+    Reuses the crawl engine's hash-min connected components
+    (clustering.connected_components: one groupBy shuffle per round,
+    O(diameter) rounds, symmetric edge list checkpointed once); min
+    label propagation is type-agnostic, so string hosts need no id
+    assignment pass.
+    """
+    from .clustering import connected_components
+
+    comps = connected_components(
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    )
+    return comps.select(
+        F.col("doc_id").alias("host"),
+        F.col("component").alias("cluster"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

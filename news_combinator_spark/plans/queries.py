@@ -5971,6 +5971,188 @@ SQL_STALE_ROBOTS = (
 )
 
 
+
+
+# ===========================================================================
+# Round-3 additions, fifth batch: containment dedup, host clusters,
+# frontier drain forecast
+# ===========================================================================
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (dedup.containment_pairs): the
+    corpus is 200 originals plus a syndicated-with-additions copy of
+    every fifth doc (same text + a fixed appended tail under doc_id
+    +10000). C(original in copy) ~= 1 while Jaccard sits below any
+    symmetric threshold, so the pairs this query returns are exactly
+    the ones MinHash-style resemblance dedup misses. max_df is left
+    None — the shingle join is lossless at oracle scale, so the hash
+    gate covers the full pipeline (shingling, candidate join, exact
+    intersection, both containment directions)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    ext = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz1 zz2 zz3 zz4 zz5 zz6")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(ext)
+    return dd.containment_pairs(corpus, n=3, min_containment=0.9)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000, text || ' zz1 zz2 zz3 zz4 zz5 zz6'
+      FROM base WHERE doc_id % 5 = 0
+    ),
+    t AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc, array_to_string(arr[i:i+2], ' ') AS sh
+      FROM t, LATERAL (
+        SELECT unnest(range(1, len(arr) - 1)) AS i
+      ) g
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    cand AS (
+      SELECT DISTINCT x.doc AS a, y.doc AS b
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc < y.doc
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.a
+      JOIN sh sb ON sb.doc = c.b AND sb.sh = sa.sh
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b, i.n_common,
+           round(i.n_common / CAST(za.n_sh AS DOUBLE), 6) AS c_a_in_b,
+           round(i.n_common / CAST(zb.n_sh AS DOUBLE), 6) AS c_b_in_a
+    FROM inter i
+    JOIN sizes za ON za.doc = i.a
+    JOIN sizes zb ON zb.doc = i.b
+    WHERE greatest(round(i.n_common / CAST(za.n_sh AS DOUBLE), 6),
+                   round(i.n_common / CAST(zb.n_sh AS DOUBLE), 6)) >= 0.9
+"""
+
+
+def q_host_clusters(spark, sf_dir):
+    """Mirror/equivalence cluster resolution (hoststats.host_clusters):
+    a sparse synthetic host graph (64 hosts; an edge h(i%64) --
+    h((7i+1)%64) for every ninth doc) resolved into connected
+    components with lexicographic-min canonicals — the frontier's
+    one-politeness-identity-per-mirror-set table. The oracle closes
+    the same edges with a recursive CTE, pinning the exact cluster
+    assignment of every host."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    a = F.concat(
+        F.lit("h"), (F.col("doc_id") % 64).cast("string"), F.lit(".test")
+    )
+    b = F.concat(
+        F.lit("h"),
+        ((F.col("doc_id") * 7 + 1) % 64).cast("string"),
+        F.lit(".test"),
+    )
+    edges = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    return hs.host_clusters(edges)
+
+
+SQL_HOST_CLUSTERS = r"""
+    WITH RECURSIVE e0 AS (
+      SELECT 'h' || CAST(doc_id % 64 AS VARCHAR) || '.test' AS a,
+             'h' || CAST((doc_id * 7 + 1) % 64 AS VARCHAR) || '.test'
+                 AS b
+      FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0
+    ),
+    pairs AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+    edges AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT src AS host,
+           min(node) AS cluster,
+           min(node) = src AS is_canonical
+    FROM reach GROUP BY src
+"""
+
+
+def q_drain_forecast(spark, sf_dir):
+    """Crawl-horizon forecast (frontier.drain_forecast): per (host,
+    priority class), the first and last politeness round in which its
+    frontier URLs get fetched under per-host budgets of 50+25*i —
+    floor/ceil over the host-partitioned priority cumsum. The window
+    is PARTITIONED BY HOST (bounded by the 3 priority classes), so
+    the audit's no-single-partition-exchange rule holds; the oracle
+    replays the same window arithmetic."""
+    pages = pages_from_documents(spark, sf_dir)
+    budgets = (
+        pages.select("host")
+        .dropDuplicates(["host"])
+        .select(
+            "host",
+            (
+                F.lit(50)
+                + F.lit(25)
+                * F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+            ).alias("budget"),
+        )
+    )
+    return fr.drain_forecast(
+        pages.select("host", "priority"), budgets
+    )
+
+
+SQL_DRAIN_FORECAST = (
+    _pages_cte()
+    + r"""
+    , counts AS (
+        SELECT host, priority, count(*) AS n_urls
+        FROM pages GROUP BY host, priority
+    )
+    , cum AS (
+        SELECT host, priority, n_urls,
+               coalesce(sum(n_urls) OVER (
+                   PARTITION BY host ORDER BY priority
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM counts
+    )
+    , budgets AS (
+        SELECT DISTINCT host,
+               50 + 25 * CAST(regexp_extract(host, 'h(\d+)', 1) AS INT)
+                   AS budget
+        FROM pages
+    )
+    SELECT c.host, c.priority, c.n_urls, b.budget,
+           CAST(floor(cum_before / CAST(budget AS DOUBLE)) + 1
+                AS BIGINT) AS first_round,
+           CAST(ceil((cum_before + n_urls) / CAST(budget AS DOUBLE))
+                AS BIGINT) AS last_round
+    FROM cum c JOIN budgets b ON c.host = b.host
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -6107,6 +6289,9 @@ _QUERIES_BY_FAMILY = {
     "path_profile": (q_path_profile, SQL_PATH_PROFILE),
     "reciprocal_hosts": (q_reciprocal_hosts, SQL_RECIPROCAL_HOSTS),
     "stale_robots": (q_stale_robots, SQL_STALE_ROBOTS),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "host_clusters": (q_host_clusters, SQL_HOST_CLUSTERS),
+    "drain_forecast": (q_drain_forecast, SQL_DRAIN_FORECAST),
 }
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,7 @@ _LAZY_QUERIES = [
     "freshness_revisit", "alpha_mix", "cdx_export", "discovery_yield",
     "bm25_search", "hits_rank", "opic_priority", "param_significance",
     "phrase_search", "path_profile", "reciprocal_hosts", "stale_robots",
+    "containment_pairs", "host_clusters", "drain_forecast",
 ]
 
 
