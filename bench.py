@@ -159,6 +159,7 @@ SQL_BENCH_QUERIES = [
     "containment_pairs",
     "host_clusters",
     "drain_forecast",
+    "pii_scrub",
 ]
 
 

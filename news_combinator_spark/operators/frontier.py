@@ -1136,6 +1136,7 @@ def drain_forecast(
     budgets: DataFrame,
     host_col: str = "host",
     prio_col: str = "priority",
+    default_budget: int | None = None,
 ) -> DataFrame:
     """Crawl-horizon forecast: for every (host, priority class), the
     first and last politeness round in which its URLs get fetched —
@@ -1153,6 +1154,12 @@ def drain_forecast(
     cardinality, a cumulative window PARTITIONED BY HOST (bounded by
     the priority-class count, never a global window), one
     host-cardinality budget join.
+
+    A host with no budget row is DROPPED by default (same contract as
+    schedule_per_host: budgets define the crawlable set) — pass
+    ``default_budget`` to instead forecast it at that rate, avoiding
+    the silent-omission trap a partial budget table springs on the
+    unwary (the ip_budgets lesson).
     """
     from pyspark.sql import Window
 
@@ -1167,7 +1174,13 @@ def drain_forecast(
     cum = counts.withColumn(
         "cum_before", F.coalesce(F.sum("n_urls").over(w), F.lit(0))
     )
-    joined = cum.join(budgets, host_col)
+    if default_budget is None:
+        joined = cum.join(budgets, host_col)
+    else:
+        joined = cum.join(budgets, host_col, "left").withColumn(
+            "budget",
+            F.coalesce(F.col("budget"), F.lit(int(default_budget))),
+        )
     b = F.col("budget").cast("double")
     return joined.select(
         host_col,

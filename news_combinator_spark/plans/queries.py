@@ -6153,6 +6153,104 @@ SQL_DRAIN_FORECAST = (
 )
 
 
+
+
+# ===========================================================================
+# Round-3 additions, sixth batch: PII scrubbing
+# ===========================================================================
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (functions/pii.scrub_pii): deterministic
+    email/IPv4/phone injections over the doc corpus (every 3rd doc an
+    email, every 4th an IP, every 5th a phone — overlapping ids get
+    several kinds), then the canonical-order scrub with per-kind
+    counts taken at the moment each pattern ran. The hash gate pins
+    the exact redacted BYTES and all three counts; the oracle replays
+    the same patterns with DuckDB's 'g' flag (its regexp_replace is
+    first-match-only by default, Spark's is global)."""
+    from ..functions import pii
+
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                d.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" call +1 555 0123")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", txt.alias("text"))
+    )
+    return pii.scrub_pii(docs)
+
+
+SQL_PII_SCRUB = r"""
+    WITH inj AS (
+      SELECT doc_id AS doc,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 250 AS VARCHAR)
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' call +1 555 0123' ELSE '' END AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    s1 AS (
+      SELECT doc,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+      FROM inj
+    ),
+    s2 AS (
+      SELECT doc,
+             regexp_replace(regexp_replace(t,
+               '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.])',
+               '\1<IP>\4', 'g'),
+               '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.])',
+               '\1<IP>\4', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc,
+             regexp_replace(t,
+               '\+[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}\b',
+               '<PHONE>', 'g') AS t
+      FROM s2
+    )
+    SELECT doc,
+           CAST(len(regexp_extract_all(t, '<EMAIL>')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '<IP>')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '<PHONE>')) AS BIGINT)
+               AS n_phones,
+           t AS clean
+    FROM s3
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -6292,6 +6390,7 @@ _QUERIES_BY_FAMILY = {
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "host_clusters": (q_host_clusters, SQL_HOST_CLUSTERS),
     "drain_forecast": (q_drain_forecast, SQL_DRAIN_FORECAST),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 # ---------------------------------------------------------------------------

@@ -249,6 +249,7 @@ _LAZY_QUERIES = [
     "bm25_search", "hits_rank", "opic_priority", "param_significance",
     "phrase_search", "path_profile", "reciprocal_hosts", "stale_robots",
     "containment_pairs", "host_clusters", "drain_forecast",
+    "pii_scrub",
 ]
 
 

@@ -107,3 +107,18 @@ def test_drain_forecast_hosts_independent(spark):
     out = {r.host: r for r in drain_forecast(frontier, budgets).collect()}
     assert (out["a"].first_round, out["a"].last_round) == (1, 1)
     assert (out["b"].first_round, out["b"].last_round) == (1, 10)
+
+
+def test_drain_forecast_default_budget_keeps_unbudgeted_host(spark):
+    frontier = spark.createDataFrame(
+        [("a", 0)] * 4 + [("zz", 0)] * 30,
+        "host string, priority int",
+    )
+    budgets = spark.createDataFrame([("a", 10)], "host string, budget int")
+    # default contract: unbudgeted host silently excluded
+    assert drain_forecast(frontier, budgets).count() == 1
+    # opt-in default budget forecasts it instead
+    out = {r.host: r for r in drain_forecast(
+        frontier, budgets, default_budget=10
+    ).collect()}
+    assert out["zz"].last_round == 3 and out["zz"].budget == 10
