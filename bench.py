@@ -160,6 +160,7 @@ SQL_BENCH_QUERIES = [
     "host_clusters",
     "drain_forecast",
     "pii_scrub",
+    "robots_wildcards",
 ]
 
 

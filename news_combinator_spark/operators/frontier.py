@@ -1194,3 +1194,78 @@ def drain_forecast(
         .cast("long")
         .alias("last_round"),
     )
+
+
+def robots_rule_pattern(col):
+    """Translate an RFC 9309 rule path (which may contain the spec's
+    two special characters: ``*`` = any character sequence, ``$`` =
+    end-of-path anchor) into a start-anchored regex, as a pure column
+    expression over the RULES frame (per-host-KB sized, never data
+    scale).
+
+    All regex metacharacters in the rule are escaped EXCEPT ``*``;
+    a trailing ``$`` becomes the regex anchor (mid-rule ``$`` is
+    literal, per spec). The output uses only `. * \\ ^ $` regex
+    syntax, which Java regex and RE2 interpret identically — the
+    property the cross-engine oracle relies on."""
+    c = F.col(col) if isinstance(col, str) else col
+    body = F.regexp_replace(c, r"\$$", "")
+    esc = F.regexp_replace(
+        body, r"([.\[\]{}()+?^$|\\])", r"\\$1"
+    )
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"),
+        star,
+        F.when(c.endswith("$"), F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def apply_robots_rfc9309(
+    candidates: DataFrame, rules: DataFrame | None
+) -> DataFrame:
+    """Full RFC 9309 rule evaluation including the spec's special
+    characters (S2.2.3): ``Disallow: /*.php$`` or ``Allow: /a/*/13``
+    match with ``*`` as any-sequence and trailing ``$`` as an
+    end anchor; among a host's matching rules the one with the most
+    octets (the rule string as written) governs, Allow winning length
+    ties; no match means allowed.
+
+    This supersedes `apply_robots_longest_match` (exact-prefix rules
+    only) when rule sets use wildcards — prefix startswith() treats
+    '*' as a literal and silently never matches such rules. Shape is
+    identical: rules (with their translated regexes) broadcast, the
+    match predicate evaluated JVM-side in the join, the governing
+    rule one map-side-combined max_by per url.
+    """
+    if rules is None:
+        return candidates
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("r_host"),
+            "allow",
+            robots_rule_pattern("path_prefix").alias("pat"),
+            F.length("path_prefix").alias("plen"),
+        )
+    )
+    path = _robots_path("url")
+    cand = candidates.withColumn("_path", path)
+    matched = cand.join(
+        r,
+        (F.col("host") == F.col("r_host"))
+        & F.regexp_like(F.col("_path"), F.col("pat")),
+        "inner",
+    )
+    governing = matched.groupBy("url").agg(
+        F.max_by(
+            F.col("allow"),
+            F.struct(
+                F.col("plen").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+            ),
+        ).alias("_allow")
+    )
+    out = cand.join(governing, "url", "left")
+    return out.filter(
+        F.col("_allow").isNull() | F.col("_allow")
+    ).drop("_allow", "_path")

@@ -6251,6 +6251,93 @@ SQL_PII_SCRUB = r"""
 """
 
 
+
+
+# ===========================================================================
+# Round-3 additions, seventh batch: RFC 9309 wildcard rules
+# ===========================================================================
+
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 special-character rules (frontier.apply_robots_rfc9309
+    over robots_rule_pattern): every host disallows `/a/*/0000001`
+    (ids 100-199 on ANY day directory — the `*` the prefix gate would
+    treat as a literal and never match) but re-allows the longer
+    `/a/*/00000013` (ids 130-139); odd hosts additionally disallow
+    `*7.htm$` (any url whose path ends in 7.htm — the end anchor).
+    Precedence is rule-octet length with Allow winning ties, so id
+    137 on an odd host survives (the 13-octet Allow beats both
+    Disallows). The oracle replays the ESCAPE -> star -> anchor
+    translation chain and the regexp match in SQL — Java regex and
+    RE2 agree on the translated subset by construction."""
+    pages = pages_from_documents(spark, sf_dir)
+    hosts = pages.select("host").distinct()
+    hn = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    base = hosts.select(
+        "host",
+        F.lit("/a/*/0000001").alias("path_prefix"),
+        F.lit(False).alias("allow"),
+    ).unionByName(
+        hosts.select(
+            "host",
+            F.lit("/a/*/00000013").alias("path_prefix"),
+            F.lit(True).alias("allow"),
+        )
+    ).unionByName(
+        hosts.filter(hn % 2 == 1).select(
+            "host",
+            F.lit("*7.htm$").alias("path_prefix"),
+            F.lit(False).alias("allow"),
+        )
+    )
+    cand = pages.select("url", "host", "priority")
+    return fr.apply_robots_rfc9309(cand, base)
+
+
+SQL_ROBOTS_WILDCARDS = (
+    _pages_cte()
+    + r"""
+    , hosts AS (SELECT DISTINCT host FROM pages)
+    , rules0 AS (
+        SELECT host, '/a/*/0000001' AS pfx, false AS allow FROM hosts
+        UNION ALL
+        SELECT host, '/a/*/00000013', true FROM hosts
+        UNION ALL
+        SELECT host, '*7.htm$', false FROM hosts
+        WHERE CAST(regexp_extract(host, 'h(\d+)', 1) AS INT) % 2 = 1
+    )
+    , rules AS (
+        SELECT host, allow, length(pfx) AS plen,
+               '^' || regexp_replace(regexp_replace(
+                   regexp_replace(pfx, '\$$', ''),
+                   '([.\[\]{}()+?^$|\\])', '\\\1', 'g'),
+                   '\*', '.*', 'g')
+               || CASE WHEN pfx LIKE '%$' THEN '$' ELSE '' END AS pat
+        FROM rules0
+    )
+    , cand AS (
+        SELECT url, host, priority,
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')
+                   AS path
+        FROM pages
+    )
+    , matched AS (
+        SELECT c.url, r.allow, r.plen
+        FROM cand c JOIN rules r
+          ON c.host = r.host AND regexp_matches(c.path, r.pat)
+    )
+    , gov AS (
+        SELECT url, allow FROM matched
+        QUALIFY row_number() OVER (
+            PARTITION BY url ORDER BY plen DESC, allow DESC
+        ) = 1
+    )
+    SELECT c.url, c.host, c.priority
+    FROM cand c LEFT JOIN gov g ON c.url = g.url
+    WHERE g.allow IS NULL OR g.allow
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -6297,6 +6384,7 @@ _QUERIES_BY_FAMILY = {
     "lm_nll": (q_lm_nll, SQL_LM_NLL),
     "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),

@@ -250,6 +250,7 @@ _LAZY_QUERIES = [
     "phrase_search", "path_profile", "reciprocal_hosts", "stale_robots",
     "containment_pairs", "host_clusters", "drain_forecast",
     "pii_scrub",
+    "robots_wildcards",
 ]
 
 

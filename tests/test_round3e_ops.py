@@ -161,3 +161,80 @@ def test_stale_robots_only_scheduled_hosts(spark):
     sched = spark.createDataFrame([("h0",)], "host string")
     out = stale_robots(log, sched, "2024-01-02 00:00:00").collect()
     assert [r.host for r in out] == ["h0"]  # h9 not scheduled -> ignored
+
+
+# ------------------------------------------------- RFC 9309 wildcards
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, path_prefix string, allow boolean"
+    )
+
+
+def _cand(spark, paths, host="h.test"):
+    return spark.createDataFrame(
+        [(f"http://{host}{p}", host, 0) for p in paths],
+        "url string, host string, priority int",
+    )
+
+
+def _kept(spark, rules, paths):
+    from news_combinator_spark.operators.frontier import (
+        apply_robots_rfc9309,
+    )
+
+    out = apply_robots_rfc9309(_cand(spark, paths), _rules(spark, rules))
+    return {r.url.split(".test", 1)[1] for r in out.collect()}
+
+
+def test_wildcard_star_matches_any_sequence(spark):
+    rules = [("h.test", "/*.php", False)]
+    kept = _kept(spark, rules, ["/a.php", "/x/y.php", "/a.phpx", "/a.html"])
+    # '*.php' is a prefix rule (no $): /a.phpx matches too
+    assert kept == {"/a.html"}
+
+
+def test_dollar_anchors_end(spark):
+    rules = [("h.test", "/*.php$", False)]
+    kept = _kept(spark, rules, ["/a.php", "/a.phpx", "/a.php/more"])
+    assert kept == {"/a.phpx", "/a.php/more"}
+
+
+def test_dot_is_literal_not_regex(spark):
+    # a naive translation would let '.' match any char
+    rules = [("h.test", "/a.htm", False)]
+    kept = _kept(spark, rules, ["/a.htm", "/axhtm"])
+    assert kept == {"/axhtm"}
+
+
+def test_mid_rule_dollar_is_literal(spark):
+    rules = [("h.test", "/p$q", False)]
+    kept = _kept(spark, rules, ["/p$q/x", "/pq/x"])
+    assert kept == {"/pq/x"}
+
+
+def test_longest_octets_governs_allow_wins_ties(spark):
+    rules = [
+        ("h.test", "/dir/*", False),        # 6 octets
+        ("h.test", "/dir/open*", True),     # 10 octets -> wins under it
+    ]
+    kept = _kept(spark, rules, ["/dir/x", "/dir/open1", "/other"])
+    assert kept == {"/dir/open1", "/other"}
+
+
+def test_wildcard_rule_invisible_to_prefix_gate(spark):
+    # the motivating gap: the exact-prefix evaluator treats '*' as a
+    # literal and never matches, silently allowing what the wildcard
+    # rule blocks
+    from news_combinator_spark.operators.frontier import (
+        apply_robots_longest_match,
+    )
+
+    rules = _rules(spark, [("h.test", "/*.php", False)])
+    cand = _cand(spark, ["/a.php"])
+    assert apply_robots_longest_match(cand, rules).count() == 1  # leaks
+    from news_combinator_spark.operators.frontier import (
+        apply_robots_rfc9309,
+    )
+    assert apply_robots_rfc9309(cand, rules).count() == 0  # blocked
