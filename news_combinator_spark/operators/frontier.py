@@ -509,9 +509,10 @@ def crawl(
             "nothing left to crawl — raise --rounds or resume an "
             "earlier checkpoint"
         )
-    if robots_mode not in ("prefix", "rfc9309"):
+    if robots_mode not in ("prefix", "rfc9309", "rfc9309-wildcards"):
         raise ValueError(
-            f"robots_mode must be 'prefix' or 'rfc9309', got {robots_mode!r}"
+            "robots_mode must be 'prefix', 'rfc9309' or "
+            f"'rfc9309-wildcards', got {robots_mode!r}"
         )
     # The "web" is probed by url every round. Two layouts:
     # - web_table: a catalog table bucketed by url (operators/
@@ -678,9 +679,13 @@ def crawl(
             n_cand = cand.count() if collect_lineage else None
             # gate mode: 'prefix' = conservative disallow-only (the
             # oracle-pinned default); 'rfc9309' = longest-match with
-            # Allow overrides — robots must then be
-            # functions/robots.allow_disallow_rules output
-            if robots_mode == "rfc9309":
+            # Allow overrides; 'rfc9309-wildcards' additionally honors
+            # the spec's * / $ special characters — for both rfc
+            # modes, robots must be functions/robots.
+            # allow_disallow_rules output
+            if robots_mode == "rfc9309-wildcards":
+                cand = apply_robots_rfc9309(cand, robots)
+            elif robots_mode == "rfc9309":
                 cand = apply_robots_longest_match(cand, robots)
             else:
                 cand = apply_robots(cand, robots)

@@ -623,3 +623,43 @@ def test_host_lineage_budget_and_conservation(spark):
     for m in res.lineage:
         assert agg.loc[m.round, "n_scheduled"] == m.scheduled
         assert agg.loc[m.round, "n_deferred"] == m.deferred
+
+
+def test_crawl_rfc9309_wildcards_mode(spark):
+    """robots_mode='rfc9309-wildcards': a `*`-rule blocks discovered
+    candidates across every day directory of the host (the exact-
+    prefix rfc9309 mode treats the same rule as a literal and blocks
+    nothing), and a longer $-anchored Allow re-opens its slice."""
+    pages = pages_from_documents(spark, SF_SMALL)
+    seeds = seeds_df(spark, pages)
+    budgets = budgets_df(spark)
+    # h1.test: block every url whose id part starts 0000001 on ANY
+    # day; re-allow ids ending 3.htm (longer rule -> wins where both
+    # match)
+    rules = spark.createDataFrame(
+        [
+            ("h1.test", "/a/*/0000001", False),
+            ("h1.test", "/a/*/00000013*", True),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    res = crawl(
+        spark, pages, seeds, budgets, robots=rules,
+        rounds=CRAWL_ROUNDS, robots_mode="rfc9309-wildcards",
+        collect_lineage=False,
+    )
+    got = res.fetched.select("url", "host", "round").toPandas()
+    h1 = got[(got.host == "h1.test") & (got["round"] > 0)]
+    blocked = [u for u in h1.url if "/0000001" in u and "/00000013" not in u]
+    assert blocked == [], blocked
+
+    # same rules under plain rfc9309: '*' is a literal, nothing
+    # matches, everything is fetched as if ungated
+    res2 = crawl(
+        spark, pages, seeds, budgets, robots=rules,
+        rounds=CRAWL_ROUNDS, robots_mode="rfc9309",
+        collect_lineage=False,
+    )
+    g2 = res2.fetched.select("url", "host", "round").toPandas()
+    h1b = g2[(g2.host == "h1.test") & (g2["round"] > 0)]
+    assert len(h1b) >= len(h1)
