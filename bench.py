@@ -161,6 +161,8 @@ SQL_BENCH_QUERIES = [
     "drain_forecast",
     "pii_scrub",
     "robots_wildcards",
+    "adaptive_length",
+    "content_drift",
 ]
 
 

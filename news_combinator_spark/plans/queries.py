@@ -6338,6 +6338,130 @@ SQL_ROBOTS_WILDCARDS = (
 )
 
 
+
+
+# ===========================================================================
+# Round-3 additions, eighth batch: distribution-aware curation
+# ===========================================================================
+
+def q_adaptive_length(spark, sf_dir):
+    """Per-language adaptive length cuts (quality.
+    adaptive_length_filter): each doc kept iff its token count lies
+    within its OWN language's [p05, p95] band — the cut every
+    multilingual pipeline needs instead of one global constant. Both
+    engines compute exact linear-interpolation quantiles (Spark
+    `percentile` == DuckDB `quantile_cont`), rounded at 4 dp, so the
+    keep decision hash-matches."""
+    from ..operators.quality import adaptive_length_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return adaptive_length_filter(docs)
+
+
+SQL_ADAPTIVE_LENGTH = r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, lang AS grp,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cuts AS (
+      SELECT grp,
+             round(quantile_cont(n_tok, 0.05), 4) AS lo_cut,
+             round(quantile_cont(n_tok, 0.95), 4) AS hi_cut
+      FROM toks GROUP BY grp
+    )
+    SELECT t.doc, t.grp AS lang, t.n_tok, c.lo_cut, c.hi_cut,
+           t.n_tok >= c.lo_cut AND t.n_tok <= c.hi_cut AS keep
+    FROM toks t JOIN cuts c ON t.grp = c.grp
+"""
+
+
+def q_content_drift(spark, sf_dir):
+    """Round-over-round content drift (quality.content_drift): the
+    'before' snapshot is docs 0-249, 'after' is 250+ with host
+    h1.test's texts truncated to 8 tokens — the extractor-breakage
+    shape. PSI over fixed 20-token buckets must flag exactly h1 as
+    drifted while the untouched hosts stay under threshold; the
+    oracle replays bucketing, eps smoothing, and the PSI sum."""
+    from ..operators.quality import content_drift
+
+    pages = pages_from_documents(spark, sf_dir)
+    before = pages.filter(F.col("doc_id") < 250).select("host", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    after = pages.filter(F.col("doc_id") >= 250).select(
+        "host",
+        F.when(
+            F.col("host") == "h1.test",
+            F.array_join(F.slice(ws, 1, 8), " "),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return content_drift(before, after)
+
+
+SQL_CONTENT_DRIFT = (
+    _pages_cte()
+    + r"""
+    , before_t AS (
+        SELECT host, text FROM pages WHERE doc_id < 250
+    )
+    , after_t AS (
+        SELECT host,
+               CASE WHEN host = 'h1.test'
+                 THEN array_to_string(
+                     (regexp_split_to_array(trim(text), '\s+'))[1:8],
+                     ' ')
+                 ELSE text END AS text
+        FROM pages WHERE doc_id >= 250
+    )
+    , hb AS (
+        SELECT host AS key,
+               CAST(least(CAST(len(regexp_split_to_array(trim(text),
+                        '\s+')) AS BIGINT) // 20, 9) AS INT) AS bucket,
+               count(*) AS n
+        FROM before_t GROUP BY 1, 2
+    )
+    , ha AS (
+        SELECT host AS key,
+               CAST(least(CAST(len(regexp_split_to_array(trim(text),
+                        '\s+')) AS BIGINT) // 20, 9) AS INT) AS bucket,
+               count(*) AS n
+        FROM after_t GROUP BY 1, 2
+    )
+    , grid AS (
+        SELECT coalesce(hb.key, ha.key) AS key,
+               coalesce(hb.bucket, ha.bucket) AS bucket,
+               coalesce(hb.n, 0) AS n_b,
+               coalesce(ha.n, 0) AS n_a
+        FROM hb FULL OUTER JOIN ha
+          ON hb.key = ha.key AND hb.bucket = ha.bucket
+    )
+    , tot AS (
+        SELECT key, sum(n_b) AS tot_b, sum(n_a) AS tot_a
+        FROM grid GROUP BY key
+    )
+    , per AS (
+        SELECT g.key, g.n_b, g.n_a,
+               (g.n_a / greatest(t.tot_a, 1) + 1e-6
+                - (g.n_b / greatest(t.tot_b, 1) + 1e-6))
+               * ln((g.n_a / greatest(t.tot_a, 1) + 1e-6)
+                    / (g.n_b / greatest(t.tot_b, 1) + 1e-6)) AS term
+        FROM grid g JOIN tot t ON g.key = t.key
+    )
+    SELECT key AS host,
+           CAST(sum(n_b) AS BIGINT) AS n_before,
+           CAST(sum(n_a) AS BIGINT) AS n_after,
+           round(sum(term), 6) AS psi,
+           round(sum(term), 6) > 0.2 AS drifted
+    FROM per GROUP BY key
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -6385,6 +6509,8 @@ _QUERIES_BY_FAMILY = {
     "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
+    "adaptive_length": (q_adaptive_length, SQL_ADAPTIVE_LENGTH),
+    "content_drift": (q_content_drift, SQL_CONTENT_DRIFT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),

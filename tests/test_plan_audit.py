@@ -251,6 +251,8 @@ _LAZY_QUERIES = [
     "containment_pairs", "host_clusters", "drain_forecast",
     "pii_scrub",
     "robots_wildcards",
+    "adaptive_length",
+    "content_drift",
 ]
 
 
