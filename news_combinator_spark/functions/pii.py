@@ -50,8 +50,12 @@ __all__ = [
 EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 # group 1 = left context (consumed!), group 2 = the address,
 # group 4 = right context; replacement must restore groups 1 and 4
+# right context allows a sentence-terminating dot (dot followed by a
+# non-digit or end) — without it 'from 10.1.2.3.' keeps its IP — while
+# a dot followed by a DIGIT still protects version strings (1.2.3.4.5)
 IP_PATTERN = (
-    r"(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.])"
+    r"(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})"
+    r"($|[^0-9.]|\.([^0-9]|$))"
 )
 PHONE_PATTERN = (
     r"\+[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}\b"

@@ -38,6 +38,8 @@ __all__ = [
     "term_postings",
     "conjunctive_search",
     "bm25_search",
+    "term_positions",
+    "phrase_search",
 ]
 
 
@@ -108,8 +110,11 @@ def conjunctive_search(
     The term filter is pushed below the tokenize-aggregate, so only
     matching tokens ever reach a shuffle; the per-doc agg is map-side
     combined and the result is at most |docs matching rarest term|.
+    Duplicate query terms are collapsed (a conjunction of a term with
+    itself is the term) — otherwise countDistinct could never reach
+    the raw term count and every result would be rejected.
     """
-    want = [t.lower() for t in terms]
+    want = list(dict.fromkeys(t.lower() for t in terms))
     per = term_doc_tf(df, text_col, doc_col).filter(
         F.col("term").isin(want)
     )
@@ -222,7 +227,8 @@ def phrase_search(
 
     Scale shape: the per-term position frames are filtered to the
     query terms BEFORE any shuffle (rare-term selectivity applies to
-    every join input), each join key is (doc, pos) — uniformly
+    every join input), materialized once so the k per-term branches
+    share one corpus scan, each join key is (doc, pos) — uniformly
     distributed, no skew — and the final count is one map-side-
     combined groupBy. A k-word phrase costs k-1 equi-joins over
     postings-sized frames, never a rescan of the corpus.
@@ -230,13 +236,20 @@ def phrase_search(
     want = [t.lower() for t in phrase]
     if not want:
         raise ValueError("phrase must have at least one term")
-    pos = term_positions(df, text_col, doc_col)
+    # materialize the query terms' positions ONCE: each per-term
+    # branch below is otherwise an independent full corpus scan +
+    # tokenization (k scans for a k-word phrase)
+    hits = (
+        term_positions(df, text_col, doc_col)
+        .filter(F.col("term").isin(list(set(want))))
+        .localCheckpoint()
+    )
     cur = (
-        pos.filter(F.col("term") == want[0])
+        hits.filter(F.col("term") == want[0])
         .select("doc", F.col("pos").alias("p0"))
     )
     for i, t in enumerate(want[1:], start=1):
-        nxt = pos.filter(F.col("term") == t).select(
+        nxt = hits.filter(F.col("term") == t).select(
             "doc", (F.col("pos") - i).alias("p0")
         )
         cur = cur.join(nxt, ["doc", "p0"])

@@ -61,7 +61,13 @@ def adaptive_length_filter(
         F.round(F.percentile("n_tok", F.lit(lo)), 4).alias("lo_cut"),
         F.round(F.percentile("n_tok", F.lit(hi)), 4).alias("hi_cut"),
     )
-    joined = toks.join(cuts, "grp")
+    # eqNullSafe: a NULL group (failed language ID) must still get
+    # its own band and a keep decision — a plain equi-join silently
+    # drops those rows from the output
+    joined = toks.join(
+        cuts.withColumnRenamed("grp", "_cg"),
+        toks["grp"].eqNullSafe(F.col("_cg")),
+    ).drop("_cg")
     return joined.select(
         "doc",
         F.col("grp").alias(group_col),

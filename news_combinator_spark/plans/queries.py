@@ -6227,9 +6227,9 @@ SQL_PII_SCRUB = r"""
     s2 AS (
       SELECT doc,
              regexp_replace(regexp_replace(t,
-               '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.])',
+               '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.]|\.([^0-9]|$))',
                '\1<IP>\4', 'g'),
-               '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.])',
+               '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})($|[^0-9.]|\.([^0-9]|$))',
                '\1<IP>\4', 'g') AS t
       FROM s1
     ),

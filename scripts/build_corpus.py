@@ -105,7 +105,10 @@ def build(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact = scrubbed.join(firsts, "doc_id", "semi")
+    # persist: five downstream actions (funnel counts, packing agg,
+    # shard + manifest writes) would otherwise re-execute the whole
+    # gate->scrub->dedup lineage once each
+    exact = scrubbed.join(firsts, "doc_id", "semi").persist()
     funnel["after_exact_dedup"] = exact.count()
 
     # ---- near-dup dedup, keep the LONGEST member ----------------------
@@ -117,7 +120,7 @@ def build(
     )
     kept = with_score.join(
         best.filter("is_canonical").select("doc_id"), "doc_id", "semi"
-    )
+    ).persist()
     funnel["after_near_dup"] = kept.count()
 
     # ---- decontamination vs the held-out eval slice -------------------
@@ -136,16 +139,18 @@ def build(
     )
     is_eval = F.col("doc_id") % eval_mod == 0
     eval_grams = grams.filter(is_eval).select("g").distinct()
+    # no broadcast hint: the eval-slice gram set is O(corpus/eval_mod)
+    # distinct strings — unbounded at the target scale; let AQE pick
     contaminated = (
         grams.filter(~is_eval)
-        .join(F.broadcast(eval_grams), "g", "semi")
+        .join(eval_grams, "g", "semi")
         .select("doc_id")
         .distinct()
     )
     train = (
         kept.filter(~is_eval)
         .join(contaminated, "doc_id", "anti")
-    )
+    ).persist()
     funnel["after_decontamination"] = train.count()
 
     # ---- packing + shards + manifest -----------------------------------
@@ -185,6 +190,8 @@ def build(
         manifest.write.mode("overwrite").parquet(f"{out}/manifest")
         result["shards"] = int(n_shards)
         result["out"] = out
+    for frame in (exact, kept, train):
+        frame.unpersist()
     return result
 
 

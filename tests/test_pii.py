@@ -65,3 +65,14 @@ def test_scrub_col_matches_scrub_df(spark):
     via_col = docs.select(scrub_pii_col("text").alias("clean")).collect()
     via_df = scrub_pii(docs).collect()
     assert via_col[0].clean == via_df[0].clean
+
+
+def test_sentence_final_ip_redacted(spark):
+    r = _one(spark, "request came from 10.1.2.3. Then it stopped")
+    assert r.n_ips == 1
+    assert r.clean == "request came from <IP>. Then it stopped"
+
+
+def test_trailing_dot_at_end_of_text(spark):
+    r = _one(spark, "ping 10.1.2.3.")
+    assert r.n_ips == 1 and r.clean == "ping <IP>."

@@ -68,3 +68,14 @@ def test_drift_key_absent_from_one_side_still_scores(spark):
     # all its mass moved between the eps floor and one bucket
     assert out["gone"].n_after == 0 and out["gone"].drifted
     assert out["new"].n_before == 0 and out["new"].drifted
+
+
+def test_adaptive_null_group_gets_its_own_band(spark):
+    rows = [(i, None, "w " * 50) for i in range(5)] + [
+        (10 + i, "en", "w " * 50) for i in range(5)
+    ]
+    out = adaptive_length_filter(_docs(spark, rows)).collect()
+    # NULL-lang docs must not silently vanish from the output
+    assert len(out) == 10
+    nulls = [r for r in out if r.lang is None]
+    assert len(nulls) == 5 and all(r.keep for r in nulls)

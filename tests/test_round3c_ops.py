@@ -331,3 +331,12 @@ def test_discovery_yield_counts_only_unfetched(spark):
     assert a.discovery_yield == 1.0
     b = rows["b.test"]
     assert b.n_new_links == 0 and b.discovery_yield == 0.0
+
+
+def test_conjunctive_search_duplicate_terms_collapse(spark, docs200):
+    # a conjunction of a term with itself is the term: must NOT
+    # return empty because countDistinct can never reach the raw count
+    once = ix.conjunctive_search(docs200, ["vector"])
+    twice = ix.conjunctive_search(docs200, ["vector", "vector"])
+    assert once.count() > 0
+    assert twice.count() == once.count()
