@@ -163,6 +163,7 @@ SQL_BENCH_QUERIES = [
     "robots_wildcards",
     "adaptive_length",
     "content_drift",
+    "index_delta_merge",
 ]
 
 

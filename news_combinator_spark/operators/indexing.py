@@ -40,6 +40,7 @@ __all__ = [
     "bm25_search",
     "term_positions",
     "phrase_search",
+    "merge_postings",
 ]
 
 
@@ -256,3 +257,79 @@ def phrase_search(
     return cur.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def merge_postings(
+    index: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incrementally fold a batch of NEW documents into an existing
+    inverted index without re-tokenizing the corpus: the delta's own
+    postings (term_postings over just the new docs) full-outer-merge
+    with the old index per term — df and tf add, posting lists merge
+    numerically sorted. The defining property, and what the oracle
+    hash-checks: ``merge_postings(index(A), B) == term_postings(A+B)``
+    whenever the doc-id sets are disjoint.
+
+    ``min_df``/``max_df`` apply to the MERGED counts (pass the index
+    in unfiltered, cut at read time — a term dropped from the stored
+    index below min_df would lose its count forever). Per-round cost
+    is O(delta tokens) + one term-keyed merge join against the index,
+    never a corpus rescan — the same rolling-corpus discipline as
+    dedup.delta_admit.
+    """
+    d = term_postings(delta, text_col, doc_col, min_df=1)
+
+    def _ids(col: str):
+        return F.transform(
+            F.split(F.col(col), ","), lambda x: x.cast("long")
+        )
+
+    merged = (
+        index.select(
+            "term",
+            F.col("n_docs").alias("n0"),
+            F.col("total_tf").alias("t0"),
+            F.col("postings").alias("p0"),
+        )
+        .join(
+            d.select(
+                "term",
+                F.col("n_docs").alias("n1"),
+                F.col("total_tf").alias("t1"),
+                F.col("postings").alias("p1"),
+            ),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            (
+                F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce("t0", F.lit(0)) + F.coalesce("t1", F.lit(0))
+            ).alias("total_tf"),
+            F.array_join(
+                F.sort_array(
+                    F.concat(
+                        F.coalesce(
+                            _ids("p0"), F.expr("array()").cast("array<long>")
+                        ),
+                        F.coalesce(
+                            _ids("p1"), F.expr("array()").cast("array<long>")
+                        ),
+                    )
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    out = merged.filter(F.col("n_docs") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("n_docs") <= max_df)
+    return out

@@ -6462,6 +6462,48 @@ SQL_CONTENT_DRIFT = (
 )
 
 
+
+
+# ===========================================================================
+# Round-3 additions, ninth batch: incremental index maintenance
+# ===========================================================================
+
+def q_index_delta_merge(spark, sf_dir):
+    """Incremental index maintenance (indexing.merge_postings): the
+    stored index covers docs 0-299; docs 300+ arrive as a crawl
+    delta and fold in WITHOUT re-tokenizing the old corpus (per-round
+    cost O(delta) + one term-keyed merge join). The oracle does the
+    opposite — a full rebuild over all docs — so the hash gate proves
+    the defining property merge(index(A), B) == rebuild(A+B) down to
+    the posting-list bytes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = ix.term_postings(docs.filter(F.col("doc_id") < 300), min_df=1)
+    delta = docs.filter(F.col("doc_id") >= 300).filter(
+        F.col("doc_id") < 500
+    )
+    return ix.merge_postings(old, delta, min_df=3)
+
+
+SQL_INDEX_DELTA_MERGE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    per AS (
+      SELECT term, doc_id, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM per GROUP BY term HAVING count(*) >= 3
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -6511,6 +6553,7 @@ _QUERIES_BY_FAMILY = {
     "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
     "adaptive_length": (q_adaptive_length, SQL_ADAPTIVE_LENGTH),
     "content_drift": (q_content_drift, SQL_CONTENT_DRIFT),
+    "index_delta_merge": (q_index_delta_merge, SQL_INDEX_DELTA_MERGE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),

@@ -340,3 +340,29 @@ def test_conjunctive_search_duplicate_terms_collapse(spark, docs200):
     twice = ix.conjunctive_search(docs200, ["vector", "vector"])
     assert once.count() > 0
     assert twice.count() == once.count()
+
+
+def test_merge_postings_equals_rebuild(spark, docs200):
+    old = ix.term_postings(docs200.filter("doc_id < 100"), min_df=1)
+    delta = docs200.filter("doc_id >= 100")
+    merged = {
+        r.term: (r.n_docs, r.total_tf, r.postings)
+        for r in ix.merge_postings(old, delta, min_df=2).collect()
+    }
+    rebuilt = {
+        r.term: (r.n_docs, r.total_tf, r.postings)
+        for r in ix.term_postings(docs200, min_df=2).collect()
+    }
+    assert merged == rebuilt
+
+
+def test_merge_postings_numeric_posting_order(spark):
+    # lexicographic merge would put '10' before '9'
+    docs = spark.createDataFrame(
+        [(9, "zebra word"), (10, "zebra other")],
+        "doc_id long, text string",
+    )
+    old = ix.term_postings(docs.filter("doc_id = 9"), min_df=1)
+    out = {r.term: r.postings for r in
+           ix.merge_postings(old, docs.filter("doc_id = 10")).collect()}
+    assert out["zebra"] == "9,10"
