@@ -81,6 +81,22 @@ def _remove_dot_segments(path: str) -> str:
     return norm if norm.startswith("/") or not path.startswith("/") else "/" + norm
 
 
+_C0_AND_DEL = "".join(chr(c) for c in range(0x21)) + "\x7f"
+
+
+def _strip_junk(url: str) -> str:
+    """Strip leading/trailing Unicode whitespace AND C0 controls to a
+    FIXPOINT. str.strip() alone misses controls (\x1b), urlsplit's own
+    sanitizer strips C0 but not \xa0 — alternating layers
+    ('\x1b\xa00') would otherwise peel one layer per canonicalize
+    call, breaking canon(canon(x)) == canon(x)."""
+    while True:
+        stripped = url.strip().strip(_C0_AND_DEL)
+        if stripped == url:
+            return url
+        url = stripped
+
+
 def canonicalize_url(url: str) -> str:
     """Deterministic canonical form (RFC 3986 §6 syntax-based
     normalization, the C1 dedup key):
@@ -95,10 +111,11 @@ def canonicalize_url(url: str) -> str:
     """
     if not url:
         return ""
+    url = _strip_junk(url)
     try:
-        parts = urlsplit(url.strip())
+        parts = urlsplit(url)
     except ValueError:
-        return url.strip()
+        return url
     scheme = parts.scheme.lower()
     netloc = parts.netloc.lower()
     if ":" in netloc:

@@ -253,6 +253,7 @@ _LAZY_QUERIES = [
     "robots_wildcards",
     "adaptive_length",
     "content_drift",
+    "index_delta_merge",
 ]
 
 

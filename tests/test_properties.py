@@ -6,7 +6,7 @@ satisfy. No SparkSession needed; the kernels under test are the exact
 functions the Arrow UDFs map over batches.
 """
 
-from hypothesis import given, settings
+from hypothesis import given, settings, example
 from hypothesis import strategies as st
 
 from news_combinator_spark.functions.urls import canonicalize_url, url_host
@@ -34,6 +34,9 @@ _urls = st.one_of(
 
 @settings(max_examples=300, deadline=None)
 @given(_urls)
+@example(
+    url='\x1b\xa00',
+).via('discovered failure')
 def test_canonicalize_idempotent(url):
     """canon(canon(x)) == canon(x): the seen-set key is stable no
     matter how many times a URL round-trips through the frontier."""
