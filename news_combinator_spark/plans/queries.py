@@ -6697,6 +6697,21 @@ _R3_ROTATION = [
     # both keep the local DuckDB-hash gate in test_queries_vs_duckdb
     # and are candidates for the r4 window): request_rate_budgets,
     # sitemap_index.
+    #
+    # PLANNED R4 WINDOW (after this round's driver pass attests the
+    # list above): rotate in the round-3 additions that are currently
+    # outside — delta_admit, canonical_best, trap_hosts,
+    # host_reputation, ngram_counts, wat_export, frontier_merge,
+    # inverted_index, term_search, shard_rendezvous,
+    # freshness_revisit, alpha_mix, cdx_export, discovery_yield,
+    # bm25_search, hits_rank, opic_priority, param_significance,
+    # phrase_search, path_profile, reciprocal_hosts, stale_robots,
+    # containment_pairs, host_clusters, drain_forecast, pii_scrub,
+    # robots_wildcards, adaptive_length, content_drift,
+    # index_delta_merge, url_normalize_rfc3986, crawl_host_lineage
+    # variants — plus request_rate_budgets and sitemap_index from the
+    # note above. All already pass the identical local gate
+    # (tests/test_queries_vs_duckdb.py runs every oracle pair).
 ]
 
 QUERIES = {
