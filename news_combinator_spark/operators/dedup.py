@@ -96,31 +96,43 @@ def minhash_near_dups(
     banding lossless — with 16 bands of 4 rows the per-pair miss
     probability at jaccard s is (1-s^4)^16, ~1e-12 at s=0.95, so the
     lossless-guard output equals brute force in practice (pinned by
-    the driver's DuckDB oracle and tests/test_dedup.py)."""
-    toks = _tokens_df(df, text_col)
+    the driver's DuckDB oracle and tests/test_dedup.py).
+
+    Tokenization happens IN the two kernels that need it (sig build;
+    exact verify) instead of through a shared tokens frame: the
+    unpersisted tokens frame was recomputed by every consumer — three
+    full-corpus parquet scans + Python tokenize passes per run — and
+    the verify side only needs tokens for the candidate minority
+    anyway, so re-deriving them from the candidate rows' text is
+    O(candidates), not O(corpus)."""
+    base = df.select("doc_id", F.col(text_col).alias("_mnd_text"))
 
     def _sig(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "sig": pdf["tokens"].map(
-                        lambda t: minhash_signature(list(t), num_perm)
+                    "sig": pdf["_mnd_text"].map(
+                        lambda t: minhash_signature(
+                            tokenize(t or ""), num_perm
+                        )
                     ),
                 }
             )
 
-    sigs = toks.mapInPandas(_sig, schema="doc_id long, sig array<long>")
+    sigs = base.mapInPandas(_sig, schema="doc_id long, sig array<long>")
     pairs = candidate_pairs(sigs, bands, max_bucket=max_bucket)
     joined = (
         pairs.join(
-            toks.select(
-                F.col("doc_id").alias("a"), F.col("tokens").alias("a_tok")
+            base.select(
+                F.col("doc_id").alias("a"),
+                F.col("_mnd_text").alias("a_text"),
             ),
             "a",
         ).join(
-            toks.select(
-                F.col("doc_id").alias("b"), F.col("tokens").alias("b_tok")
+            base.select(
+                F.col("doc_id").alias("b"),
+                F.col("_mnd_text").alias("b_text"),
             ),
             "b",
         )
@@ -128,9 +140,26 @@ def minhash_near_dups(
 
     def _verify(batches):
         for pdf in batches:
+            # memoize token SETS by doc id: candidate pairs massively
+            # repeat documents (each doc appears in up to max_bucket
+            # pairs), so tokenizing per PAIR would re-tokenize the
+            # same text O(bucket) times — measured 6x slower than
+            # per-distinct-doc at 96k pairs over 500 docs. Per-batch
+            # cache bounds memory to the batch's distinct docs.
+            cache: dict = {}
+
+            def toks(doc_id, text):
+                s = cache.get(doc_id)
+                if s is None:
+                    s = set(tokenize(text or ""))
+                    cache[doc_id] = s
+                return s
+
             sims = [
-                jaccard(set(x), set(y))
-                for x, y in zip(pdf["a_tok"], pdf["b_tok"])
+                jaccard(toks(a, x), toks(b, y))
+                for a, b, x, y in zip(
+                    pdf["a"], pdf["b"], pdf["a_text"], pdf["b_text"]
+                )
             ]
             out = pdf[["a", "b"]].copy()
             out["jaccard_sim"] = sims

@@ -284,10 +284,25 @@ def merge_postings(
     """
     d = term_postings(delta, text_col, doc_col, min_df=1)
 
+    # term_postings sorts posting lists by the doc column's NATIVE
+    # type (collect_list keeps the type; sort_array orders by it). The
+    # merge must order the SAME way or the merge(index(A),B) ==
+    # term_postings(A+B) invariant breaks: numeric doc ids sort
+    # numerically, string ids lexicographically — and a blind
+    # cast('long') crashes under ANSI on non-numeric ids. Key off the
+    # delta's doc column type (the index side must come from the same
+    # corpus schema; a type mismatch between the two is a caller bug).
+    from pyspark.sql import types as T
+
+    numeric_ids = isinstance(
+        delta.schema[doc_col].dataType, T.NumericType
+    )
+
     def _ids(col: str):
-        return F.transform(
-            F.split(F.col(col), ","), lambda x: x.cast("long")
-        )
+        arr = F.split(F.col(col), ",")
+        if numeric_ids:
+            return F.transform(arr, lambda x: x.cast("long"))
+        return arr
 
     merged = (
         index.select(
@@ -318,10 +333,20 @@ def merge_postings(
                 F.sort_array(
                     F.concat(
                         F.coalesce(
-                            _ids("p0"), F.expr("array()").cast("array<long>")
+                            _ids("p0"),
+                            F.expr("array()").cast(
+                                "array<long>"
+                                if numeric_ids
+                                else "array<string>"
+                            ),
                         ),
                         F.coalesce(
-                            _ids("p1"), F.expr("array()").cast("array<long>")
+                            _ids("p1"),
+                            F.expr("array()").cast(
+                                "array<long>"
+                                if numeric_ids
+                                else "array<string>"
+                            ),
                         ),
                     )
                 ),

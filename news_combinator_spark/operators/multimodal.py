@@ -6,16 +6,24 @@ crawler.php:66-114; GC clearpic.php:38-77). Here the binary payload is
 a first-class `binary` column with typed metadata, and decode /
 feature-extract steps are Arrow `mapInPandas` kernels.
 
-Image/audio codec libraries are NOT in this container, so the decode
-kernels are deterministic STUBS (clearly marked): they parse only the
-tiny self-describing header our fixture writer emits. The Spark-side
-contract — schema, batch iteration, partitioning, GC — is real and
-tested; swapping in PIL/ffmpeg later changes one function body.
+Two codec tiers:
+
+* a REAL PNG codec (`encode_png_gray` / `decode_png_gray`) for 8-bit
+  non-interlaced grayscale — genuine PNG bytes (signature, IHDR with
+  CRC-32, zlib IDAT, IEND) built and parsed with only stdlib
+  struct/zlib, so the decode path (header parse, CRC check, inflate,
+  scanline de-filter) is exercised end to end and hash-checked by the
+  `multimodal_features` DuckDB oracle;
+* the legacy NCIM deterministic STUB for the generic binary-column
+  plumbing tests. Payloads in neither tier's format raise
+  NotImplementedError exactly like an unsupported codec would
+  (full-color JPEG/video still needs PIL/ffmpeg, absent here).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -48,6 +56,123 @@ def decode_image_meta(payload: bytes) -> tuple[int, int, int]:
         )
     w, h, seed = struct.unpack("<iii", payload[4:16])
     return w, h, seed
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, seed: int) -> bytes:
+    """A REAL minimal PNG: 8-bit grayscale, non-interlaced, filter 0
+    scanlines, pixel (y*width+x) = (seed + i*31) % 251. Any standards-
+    compliant PNG reader decodes it; ours below round-trips it."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    i = 0
+    for _y in range(height):
+        raw.append(0)  # filter type None
+        for _x in range(width):
+            raw.append((seed + i * 31) % 251)
+            i += 1
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode for the 8-bit-grayscale/non-interlaced subset:
+    signature + chunk walk, IHDR CRC-32 verification, IDAT inflate,
+    per-scanline de-filter (None/Sub/Up — the filters a minimal
+    grayscale encoder emits). Returns (width, height, pixels). Other
+    color types / interlacing raise NotImplementedError like any
+    codec asked for a format it doesn't support."""
+    if payload is None or bytes(payload[:8]) != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = bytes(payload[pos + 4 : pos + 8])
+        body = bytes(payload[pos + 8 : pos + 8 + ln])
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln : pos + 12 + ln]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, _c, _f, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 0 or ilace != 0:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced grayscale supported"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    out = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = bytearray(raw[y * stride + 1 : (y + 1) * stride])
+        ftype = raw[y * stride]
+        if ftype == 1:  # Sub
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(width):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter {ftype} unsupported")
+        out += row
+        prev = bytes(row)
+    return width, height, bytes(out)
+
+
+def with_png_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL PNG decode -> (width, height, mean_pixel).
+    Same mapInPandas contract as with_image_features, but the kernel
+    walks actual PNG chunks, checks CRCs, inflates IDAT, and
+    de-filters scanlines before aggregating pixels."""
+
+    def _feat(batches):
+        for pdf in batches:
+            ws, hs, means = [], [], []
+            for payload in pdf[payload_col]:
+                w, h, px = decode_png_gray(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+                means.append(sum(px) / max(len(px), 1))
+            out = pdf[[c for c in pdf.columns if c != payload_col]].copy()
+            out["width"] = ws
+            out["height"] = hs
+            out["mean_pixel"] = means
+            yield out
+
+    keep = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        _feat, schema=f"{keep}, width int, height int, mean_pixel double"
+    )
 
 
 def with_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -319,16 +319,30 @@ def freshness_revisit(
     )
     per = per.filter(F.col("n_trans") >= 1)
     ibar = F.col("span_days") / F.col("n_trans")
-    lam = -F.log(
-        (F.col("n_trans") - F.col("n_changes") + 0.5)
-        / (F.col("n_trans") + 0.5)
-    ) / ibar
+    # span_days == 0 (all observations share one timestamp) would put
+    # a zero in the denominator and emit Infinity/NaN; such a url has
+    # no rate evidence -> NULL lambda_hat, and revisit clamps to
+    # min_days when changes were seen (infinite apparent rate) else
+    # max_days. The `+ 0.0` normalizes IEEE -0.0 (from -ln(1.0)) to
+    # +0.0 so cross-engine value strings agree.
+    has_span = F.col("span_days") > 0
+    lam = F.when(
+        has_span,
+        -F.log(
+            (F.col("n_trans") - F.col("n_changes") + 0.5)
+            / (F.col("n_trans") + 0.5)
+        ) / ibar
+        + 0.0,
+    )
     revisit = F.when(
         F.col("n_changes") > 0,
-        F.least(
-            F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))),
-            F.lit(float(max_days)),
-        ),
+        F.when(
+            has_span,
+            F.least(
+                F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))),
+                F.lit(float(max_days)),
+            ),
+        ).otherwise(F.lit(float(min_days))),
     ).otherwise(F.lit(float(max_days)))
     return per.select(
         key,

@@ -46,7 +46,7 @@ from ..operators.bucketing import reshard_moves
 from ..operators.sampling import alpha_mix_shares
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
-from ..operators.multimodal import encode_fake_image, with_image_features
+from ..operators.multimodal import encode_png_gray, with_png_features
 from ..operators.ranking import partitioned_global_rank, ranked_prefix
 from ..operators.summarize import add_abstract_column
 from ..oracle.crawl_sql import (
@@ -1216,80 +1216,9 @@ SQL_REPETITION_SCORE = """
 """
 
 
-# PII patterns shared by the Spark query and the DuckDB oracle. Kept to
-# the Java-regex/RE2 common subset (no lookaround, no backrefs) so both
-# engines match identical spans.
-_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
-_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
-_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
-
-# The driver corpus is a digit-free word salad, so (exactly like
-# q_summarize's derived sentences) both engines deterministically
-# append PII spans derived from doc_id before detecting them: docs
-# divisible by 3 gain an email, by 4 a phone, by 5 an IPv4. The three
-# patterns are mutually non-overlapping on this text (emails carry no
-# dashes, phones no dots, IPs no letters), so counts and redaction are
-# order-independent.
-_PII_INJECT_SQL = """concat(text,
-  CASE WHEN doc_id % 3 = 0
-       THEN concat(' contact user', doc_id, '@mail', doc_id % 7, '.org')
-       ELSE '' END,
-  CASE WHEN doc_id % 4 = 0
-       THEN concat(' call ', 100 + doc_id % 900, '-555-',
-                   1000 + doc_id % 9000)
-       ELSE '' END,
-  CASE WHEN doc_id % 5 = 0
-       THEN concat(' from ', doc_id % 256, '.', (doc_id * 7) % 256,
-                   '.0.1')
-       ELSE '' END)"""
-
-
-def q_pii_scrub(spark, sf_dir):
-    """PII detection + redaction (training-data scrubbing pass):
-    count emails / phone numbers / IPv4 addresses per document and
-    emit the text with each span replaced by a typed placeholder.
-    Pure per-row JVM regex expressions (regexp_count /
-    regexp_replace) — zero shuffles, embarrassingly parallel, the
-    shape a 100 TB scrub needs."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_PII_INJECT_SQL).alias("text2")
-    )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text2", _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
-    return docs.select(
-        "doc_id",
-        F.regexp_count("text2", F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
-        F.regexp_count("text2", F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
-        F.regexp_count("text2", F.lit(_PII_IP)).cast("long").alias("n_ip"),
-        red.alias("redacted"),
-    )
-
-
-SQL_PII_SCRUB = f"""
-    WITH d2 AS (
-      SELECT doc_id, {_PII_INJECT_SQL} AS text2 FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS BIGINT)
-             AS n_email,
-           CAST(len(regexp_extract_all(text2, '{_PII_PHONE}')) AS BIGINT)
-             AS n_phone,
-           CAST(len(regexp_extract_all(text2, '{_PII_IP}')) AS BIGINT)
-             AS n_ip,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-               '{_PII_PHONE}', '<PHONE>', 'g'),
-             '{_PII_IP}', '<IP>', 'g') AS redacted
-    FROM d2
-"""
+# (The round-2 q_pii_scrub that lived here was superseded by the
+# functions/pii.scrub_pii-backed query in the round-3 additions below;
+# the shadowed def and its SQL were removed in round 4 — VERDICT r3 #3.)
 
 
 def _word_4grams(docs):
@@ -1851,9 +1780,21 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column decode (multimodal.with_png_features):
+    64 GENUINE PNG payloads (signature, IHDR+CRC32, zlib IDAT, IEND;
+    8-bit grayscale, pixel j = (seed + j*31) % 251) go through the
+    real decode path — chunk walk, CRC verification, inflate,
+    scanline de-filter — inside an Arrow mapInPandas kernel. The
+    DuckDB oracle cannot decode PNG, but it doesn't need to: the
+    pixel generator is closed-form, so the oracle recomputes
+    (width, height, mean_pixel) arithmetically and the hash gate
+    pins that the full codec round-trip reproduces them exactly.
+    Every reachable pixel count (w*h in 48..96) yields a mean that
+    is either non-terminating-but-identical IEEE or exact at 4 dp,
+    so round(.,4) is cross-engine stable."""
     rows = [
         (i, i % 7, 20240101 + i % 5, "image",
-         encode_fake_image(8 + i % 5, 6 + i % 3, i))
+         encode_png_gray(8 + i % 5, 6 + i % 3, i))
         for i in range(64)
     ]
     media = spark.createDataFrame(
@@ -1861,9 +1802,31 @@ def q_multimodal_features(spark, sf_dir):
         "media_id long, abstract_id long, day_time int, kind string, "
         "payload binary",
     )
-    return with_image_features(media).select(
-        "media_id", "width", "height", F.round("mean_pixel", 4).alias("mean_pixel")
+    return with_png_features(media).select(
+        "media_id", "width", "height",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+    WITH m AS (SELECT unnest(range(0, 64)) AS media_id),
+    dims AS (
+      SELECT media_id,
+             8 + media_id % 5 AS w,
+             6 + media_id % 3 AS h
+      FROM m
+    ),
+    px AS (
+      SELECT media_id, w, h, (media_id + g.j * 31) % 251 AS v
+      FROM dims, (SELECT unnest(range(0, 96)) AS j) g
+      WHERE g.j < w * h
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           round(avg(v), 4) AS mean_pixel
+    FROM px GROUP BY media_id, w, h
+"""
 
 
 # ===========================================================================
@@ -3821,9 +3784,13 @@ SQL_ADMISSION_FUNNEL = (
         FROM f
     )
     SELECT count(*) AS n_fetched,
-           sum(CAST(p_live AS INT)) AS n_not_soft404,
-           sum(CAST(p_live AND p_len AS INT)) AS n_len_ok,
-           sum(CAST(p_live AND p_len AND p_lang AS INT)) AS n_lang_ok,
+           -- CAST ... AS BIGINT: DuckDB sum(INT) returns HUGEINT, which
+           -- pandas renders as float64 ("472.0" vs Spark's "472") — the
+           -- round-3 driver hash mismatch. Values were always identical.
+           CAST(sum(CAST(p_live AS INT)) AS BIGINT) AS n_not_soft404,
+           CAST(sum(CAST(p_live AND p_len AS INT)) AS BIGINT) AS n_len_ok,
+           CAST(sum(CAST(p_live AND p_len AND p_lang AS INT)) AS BIGINT)
+               AS n_lang_ok,
            (SELECT count(DISTINCT md5(norm)) FROM g
             WHERE p_live AND p_len AND p_lang) AS n_unique
     FROM g
@@ -4565,7 +4532,20 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
-SQL_SHARD_MANIFEST = """
+def _hex13_to_bigint_sql(expr: str) -> str:
+    """Version-stable 13-hex-char -> BIGINT parse for DuckDB: positional
+    strpos('0123456789abcdef', ...) arithmetic instead of the
+    ('0x' || ...)::BIGINT cast, whose support varies across DuckDB
+    releases (round-3 driver hash mismatch suspect)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (12 - i)} AS BIGINT)"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_SHARD_MANIFEST = f"""
     WITH d AS (
         SELECT doc_id, md5(text) AS text_fp,
                CAST(len(string_split_regex(trim(text), '\\s+'))
@@ -4576,14 +4556,16 @@ SQL_SHARD_MANIFEST = """
     , g AS (
         SELECT CAST(floor((rnk - 1) / 64) AS INT) AS shard,
                rnk, n_tok,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                    || text_fp), 1, 13))::BIGINT AS dg
+               {_hex13_to_bigint_sql(
+                   "md5(CAST(doc_id AS VARCHAR) || ':' || text_fp)")} AS dg
         FROM d
     )
     SELECT shard, count(*) AS n_rows,
            min(rnk) AS first_rank, max(rnk) AS last_rank,
            bit_xor(dg) AS content_xor,
-           sum(n_tok) AS n_tokens
+           -- BIGINT cast: DuckDB sum() -> HUGEINT -> pandas float64,
+           -- which a value-stringifying driver hashes as "N.0" != "N".
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM g GROUP BY shard
 """
 
@@ -5068,12 +5050,22 @@ SQL_WAT_EXPORT = (
     _pages_cte()
     + r"""
     , payloads AS (
+        -- chr(92)=backslash, chr(34)=double quote: the same minimal
+        -- JSON escape warc.json_escape applies (backslash first, then
+        -- quote) so a url containing either still yields valid JSON.
         SELECT host, url,
-               '{"WARC-Target-URI":"' || url
+               '{"WARC-Target-URI":"'
+               || replace(replace(url, chr(92), chr(92) || chr(92)),
+                          chr(34), chr(92) || chr(34))
                || '","Content-Digest":"md5:' || md5(coalesce(text, ''))
                || '","Text-Chars":'
                || CAST(length(coalesce(text, '')) AS VARCHAR)
-               || ',"Links":["' || next1_url || '","' || next2_url
+               || ',"Links":["'
+               || replace(replace(next1_url, chr(92), chr(92) || chr(92)),
+                          chr(34), chr(92) || chr(34))
+               || '","'
+               || replace(replace(next2_url, chr(92), chr(92) || chr(92)),
+                          chr(34), chr(92) || chr(34))
                || '"]}' AS payload,
                warc_ts
         FROM pages
@@ -5311,8 +5303,12 @@ SQL_FRESHNESS_REVISIT = (
     )
     SELECT url, n_trans, n_changes,
            round(span_days / n_trans, 6) AS mean_gap_days,
+           -- + 0.0 normalizes IEEE -0.0 (from -ln(1.0) at
+           -- n_changes = 0) to +0.0, matching the engine's
+           -- normalization — a value-stringifying hash gate sees
+           -- "-0.0" != "0.0" otherwise
            round(-ln((n_trans - n_changes + 0.5) / (n_trans + 0.5))
-                 / (span_days / n_trans), 6) AS lambda_hat,
+                 / (span_days / n_trans), 6) + 0.0 AS lambda_hat,
            CASE WHEN n_changes > 0 THEN
                round(least(greatest(
                  1.0 / (-ln((n_trans - n_changes + 0.5) / (n_trans + 0.5))
@@ -5391,7 +5387,10 @@ SQL_CDX_EXPORT = (
         FROM pages
     )
     SELECT surt, cdx_ts,
-           surt || ' ' || cdx_ts || ' {"url":"' || url
+           -- chr(92)/chr(34) escape mirrors warc.json_escape
+           surt || ' ' || cdx_ts || ' {"url":"'
+           || replace(replace(url, chr(92), chr(92) || chr(92)),
+                      chr(34), chr(92) || chr(34))
            || '","digest":"md5:' || md5(coalesce(text, ''))
            || '","length":'
            || CAST(length(coalesce(text, '')) AS VARCHAR) || '}'
@@ -6549,7 +6548,8 @@ _QUERIES_BY_FAMILY = {
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "lm_nll": (q_lm_nll, SQL_LM_NLL),
     "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    # "pii_scrub" is registered ONCE, in the round-3 additions below
+    # (the duplicate key that used to sit here silently shadowed it).
     "robots_wildcards": (q_robots_wildcards, SQL_ROBOTS_WILDCARDS),
     "adaptive_length": (q_adaptive_length, SQL_ADAPTIVE_LENGTH),
     "content_drift": (q_content_drift, SQL_CONTENT_DRIFT),
@@ -6619,7 +6619,10 @@ _QUERIES_BY_FAMILY = {
     "ip_politeness": (q_ip_politeness, SQL_IP_POLITENESS),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "parallel_corpus": (q_parallel_corpus, SQL_PARALLEL_CORPUS),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (
+        q_multimodal_features,
+        SQL_MULTIMODAL_FEATURES,
+    ),
     # round-3 additions (attestation candidates for the r4 window;
     # locally hash-gated by test_queries_vs_duckdb from day one)
     "delta_admit": (q_delta_admit, SQL_DELTA_ADMIT),
@@ -6655,15 +6658,20 @@ _QUERIES_BY_FAMILY = {
 #
 # The grading driver's correctness gate runs only the FIRST 50 registry
 # entries against their DuckDB oracles (CORRECTNESS_r{N}.json). Round 2
-# attested the 50 oldest entries; every entry added since was
-# pytest+DuckDB-verified locally but carried no third-party attestation
-# (VERDICT r2 "what's missing" #1). The explicit order below rotates
-# those 41 entries into the round-3 window, while the north-rule gates
-# — crawl ordering, the URL-seen set, byte-identical extraction, and
-# the two rows-only clustering checks — stay in the window EVERY round.
-# Entries outside the window keep their round-2 attestation rows plus
-# the always-on local gate (tests/test_queries_vs_duckdb.py runs all
-# oracle pairs).
+# attested the 50 oldest entries; round 3 rotated 41 newer entries in.
+# Round 4 (below) rotates in EVERY entry that has never had a
+# driver-green row earned by its current implementation — the 31
+# never-attested round-3 additions (VERDICT r3 "what's missing" #1),
+# the two entries rotated out in r3 (request_rate_budgets,
+# sitemap_index), and everything whose Spark fn or oracle CHANGED this
+# round (admission_funnel, shard_manifest, multimodal_features,
+# freshness_revisit, cdx_export, wat_export, index_delta_merge,
+# pii_scrub). Standing rule (VERDICT r3 #2): any query whose
+# implementation or oracle changes re-enters the NEXT window; nothing
+# ships a change while wearing an older attestation. The north-rule
+# gates stay in the window every round. Entries outside the window
+# keep their r2/r3 attestation rows plus the always-on local gate
+# (tests/test_queries_vs_duckdb.py runs all oracle pairs each run).
 # ---------------------------------------------------------------------------
 
 _ALWAYS_ATTEST = [
@@ -6674,49 +6682,39 @@ _ALWAYS_ATTEST = [
     "news_clusters_lsh", "v1_cross_source_clusters",  # rows-only checks
 ]
 
-_R3_ROTATION = [
-    # round-3 north-rule additions first: the sharded-cuckoo crawl and
-    # the per-(round, host) lineage audit.
-    "crawl_frontier_cuckoo", "crawl_host_lineage",
-    "domain_mix", "robots_rules", "crawl_diff", "crawl_delay_budgets",
-    "host_quality_filter", "sitemap_urls", "token_budget_mix",
-    "fetch_retries", "redirect_resolution", "anchor_texts",
-    "warc_records", "recrawl_priority", "robots_sitemaps",
-    "conditional_fetch", "boilerplate_removal", "gopher_rules",
-    "priority_boosts", "global_cap", "url_templates",
-    "robots_longest_match", "soft404_filter", "mojibake_repair",
-    "adaptive_budgets", "canonical_consolidate", "registered_domains",
-    "normalize_text", "admission_funnel", "politeness_composition",
-    "content_sniff", "pq_ann",
-    "meta_robots_gate", "hreflang_alternates",
-    "etag_gate", "wet_export", "shard_manifest", "ip_politeness",
-    "mirror_hosts", "parallel_corpus", "multimodal_features",
-    # rotated OUT to make room for the two round-3 entries (their
-    # families stay represented: sitemap_urls+robots_sitemaps cover
-    # sitemaps, crawl_delay/adaptive/ip/composition cover politeness;
-    # both keep the local DuckDB-hash gate in test_queries_vs_duckdb
-    # and are candidates for the r4 window): request_rate_budgets,
-    # sitemap_index.
-    #
-    # PLANNED R4 WINDOW (after this round's driver pass attests the
-    # list above): rotate in the round-3 additions that are currently
-    # outside — delta_admit, canonical_best, trap_hosts,
-    # host_reputation, ngram_counts, wat_export, frontier_merge,
-    # inverted_index, term_search, shard_rendezvous,
-    # freshness_revisit, alpha_mix, cdx_export, discovery_yield,
-    # bm25_search, hits_rank, opic_priority, param_significance,
-    # phrase_search, path_profile, reciprocal_hosts, stale_robots,
-    # containment_pairs, host_clusters, drain_forecast, pii_scrub,
-    # robots_wildcards, adaptive_length, content_drift,
-    # index_delta_merge, url_normalize_rfc3986, crawl_host_lineage
-    # variants — plus request_rate_budgets and sitemap_index from the
-    # note above. All already pass the identical local gate
-    # (tests/test_queries_vs_duckdb.py runs every oracle pair).
+_R4_ROTATION = [
+    # Changed this round — MUST re-attest (standing rule): the two r3
+    # driver-red oracles rewritten for cross-engine hash stability,
+    # the PNG-codec multimodal query (now hash-gated), the zero-span
+    # freshness guard, the JSON-escaped archive exports, the
+    # type-aware postings merge, and the replaced pii_scrub.
+    "admission_funnel", "shard_manifest", "multimodal_features",
+    "freshness_revisit", "cdx_export", "wat_export",
+    "index_delta_merge", "pii_scrub",
+    # Never driver-attested round-3 additions (VERDICT r3 missing #1).
+    "delta_admit", "canonical_best", "trap_hosts", "host_reputation",
+    "ngram_counts", "frontier_merge", "inverted_index", "term_search",
+    "shard_rendezvous", "alpha_mix", "discovery_yield", "bm25_search",
+    "hits_rank", "opic_priority", "param_significance",
+    "phrase_search", "path_profile", "reciprocal_hosts",
+    "stale_robots", "containment_pairs", "host_clusters",
+    "drain_forecast", "robots_wildcards", "adaptive_length",
+    "content_drift",
+    # Rotated out in r3 to make room; back in now.
+    "request_rate_budgets", "sitemap_index",
+    # Re-attest consumers of this round's connected-components
+    # latency work (large-star/small-star path) plus the oldest
+    # r2-only dedup attestations, to shrink overall attestation age.
+    "near_dup_groups", "dedup_first", "dedup_stats",
+    "minhash_near_dups", "simhash_near_dups", "pack_sequences",
+    # Everything in the r3 window that dropped out here keeps its
+    # CORRECTNESS_r03.json green row (earned by the implementation
+    # it still has) plus the always-on local all-pairs gate.
 ]
 
 QUERIES = {
     name: _QUERIES_BY_FAMILY[name]
-    for name in _ALWAYS_ATTEST + _R3_ROTATION
+    for name in _ALWAYS_ATTEST + _R4_ROTATION
 }
 QUERIES.update(
     (k, v) for k, v in _QUERIES_BY_FAMILY.items() if k not in QUERIES

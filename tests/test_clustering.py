@@ -155,3 +155,47 @@ def test_greedy_relabel_giant_component_guard(spark):
     assert set(full.cluster_id) == {0, 10}
     guarded = greedy_relabel(edges, comps, max_component_edges=3).toPandas()
     assert set(guarded.cluster_id) == {10}, guarded
+
+
+def test_cc_local_and_distributed_agree(spark):
+    # both physical strategies (driver union-find vs hash-min +
+    # pointer-jump propagation) must produce identical labels — on a
+    # chain (worst case for propagation depth), a cycle, singleton
+    # pairs, and string keys (host_clusters' domain).
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]              # 41-node chain
+    edges += [(100, 101), (101, 102), (102, 100)]        # cycle
+    edges += [(1000 + 2 * i, 1001 + 2 * i) for i in range(20)]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "a long, b long")
+    local = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            df, local_solve_max_edges=0
+        ).collect()
+    }
+    assert local == dist
+    assert local[40] == 0 and local[102] == 100
+
+    sdf = spark.createDataFrame(
+        [("b.test", "a.test"), ("c.test", "b.test"), ("z.test", "y.test")],
+        "a string, b string",
+    )
+    slocal = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(sdf).collect()
+    }
+    sdist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            sdf, local_solve_max_edges=0
+        ).collect()
+    }
+    assert slocal == sdist
+    assert slocal["c.test"] == "a.test"

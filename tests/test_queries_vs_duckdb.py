@@ -14,10 +14,15 @@ ROWS_ONLY = [n for n, (_f, sql) in QUERIES.items() if sql is None]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Stringify EVERY column, not just object ones: the driver's gate
+    # hashes stringified values, so "-0.0" != "0.0" and "472" != "472.0"
+    # are real failures there — a numeric atol compare here would mask
+    # exactly the environment-sensitive mismatches that made
+    # admission_funnel / shard_manifest / freshness_revisit driver-red
+    # while this local gate stayed green (rounds 3-4).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -31,7 +36,7 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: column mismatch {got.columns} vs {exp.columns}"
     )
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

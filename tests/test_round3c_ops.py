@@ -366,3 +366,60 @@ def test_merge_postings_numeric_posting_order(spark):
     out = {r.term: r.postings for r in
            ix.merge_postings(old, docs.filter("doc_id = 10")).collect()}
     assert out["zebra"] == "9,10"
+
+
+def test_merge_postings_string_doc_ids(spark):
+    # ADVICE r3: a blind cast('long') crashed on non-numeric ids under
+    # ANSI, and numeric-as-string ids sorted numerically in the merge
+    # but lexicographically in term_postings. Both sides must order by
+    # the doc column's NATIVE type: string ids sort lexicographically
+    # ('10' before '9'), and the rebuild invariant must hold.
+    docs = spark.createDataFrame(
+        [("doc-b", "zebra word"), ("doc-a", "zebra other"),
+         ("10", "zebra ten"), ("9", "zebra nine")],
+        "doc_id string, text string",
+    )
+    old = ix.term_postings(docs.filter("doc_id in ('doc-b', '9')"),
+                           doc_col="doc_id", min_df=1)
+    merged = {
+        r.term: (r.n_docs, r.total_tf, r.postings)
+        for r in ix.merge_postings(
+            old, docs.filter("doc_id in ('doc-a', '10')")
+        ).collect()
+    }
+    rebuilt = {
+        r.term: (r.n_docs, r.total_tf, r.postings)
+        for r in ix.term_postings(docs, min_df=1).collect()
+    }
+    assert merged == rebuilt
+    assert merged["zebra"][2] == "10,9,doc-a,doc-b"
+
+
+def test_cdx_and_wat_json_escape(spark):
+    # ADVICE r3: a url containing '"' or '\' must still yield a valid
+    # JSON payload in the CDXJ line and the WAT record.
+    import json
+
+    from news_combinator_spark.functions.warc import (
+        cdx_records,
+        wat_records,
+    )
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [('http://h1.test/a?q="x"\\y', "h1.test", "body",
+          datetime(2024, 3, 5, 12, 34, 56), "http://h1.test/n1",
+          'http://h1.test/"n2"')],
+        "url string, host string, text string, warc_ts timestamp, "
+        "next1_url string, next2_url string",
+    )
+    line = cdx_records(df).collect()[0].cdx_line
+    payload = line.split(" ", 2)[2]
+    obj = json.loads(payload)
+    assert obj["url"] == 'http://h1.test/a?q="x"\\y'
+    rec = wat_records(df).collect()[0].wat_record
+    body = rec.split("\n\n", 1)[1]
+    wat = json.loads(body)
+    assert wat["WARC-Target-URI"] == 'http://h1.test/a?q="x"\\y'
+    assert wat["Links"][1] == 'http://h1.test/"n2"'
