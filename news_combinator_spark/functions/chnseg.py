@@ -43,6 +43,7 @@ _B, _E, _M, _S = 0, 1, 2, 3
 _ENV_DICT = "NC_SPARK_CHNSEG_DICT"
 _ENV_HMM = "NC_SPARK_CHNSEG_HMM"
 _ENV_ENC = "NC_SPARK_CHNSEG_ENCODING"
+_ENV_USER = "NC_SPARK_CHNSEG_USERDICT"
 
 _CACHED: "MixSegmenter | None" = None
 _CACHED_KEY: tuple[str, str] | None = None
@@ -84,14 +85,95 @@ class MixSegmenter:
                 f"dictionary {dict_path!r} has no parseable "
                 "'word freq [tag]' entries (empty or malformed file)"
             )
-        self.words = {w: math.log(fr / total) for w, fr in entries}
+        # raw counts kept alongside the precomputed log-probs: a
+        # user-dict overlay (load_userdict/add_word below) changes the
+        # grand total, which shifts EVERY path score by
+        # n_segments * log(old/new) — exactly as in jieba, where calc()
+        # recomputes log(freq) - log(total) per query — so overlays
+        # rebuild the log table from the raw counts.
+        self._raw: dict[str, float] = dict(entries)
+        self._rebuild()
+        self._load_hmm(hmm_path, encoding)
+
+    def _rebuild(self) -> None:
+        total = sum(self._raw.values())
+        self.total = total
+        self.words = {
+            w: math.log(fr / total) for w, fr in self._raw.items()
+        }
         self.min_weight = min(self.words.values())
-        self.max_len = max(len(w) for w in self.words)
+        self.max_len = max(len(w) for w in self._raw)
         self.prefixes: set[str] = set()
-        for w in self.words:
+        for w in self._raw:
             for i in range(1, len(w)):
                 self.prefixes.add(w[:i])
-        self._load_hmm(hmm_path, encoding)
+
+    # -- user-dict overlay (F11 vocabulary gaps; VERDICT r3 #5) ----------
+    def suggest_freq(self, word: str) -> int:
+        """The minimal integer frequency that makes ``word`` win its
+        own MP cut — jieba's public ``suggest_freq(segment)`` formula:
+        the product of the current cut pieces' unigram probabilities,
+        scaled back to a count, plus one."""
+        p = 1.0
+        for seg in self.cut(word):
+            p *= self._raw.get(seg, 1.0) / self.total
+        return max(int(p * self.total) + 1, int(self._raw.get(word, 0)) + 1)
+
+    def add_word(
+        self, word: str, freq: float | None = None, tag: str | None = None
+    ) -> None:
+        """jieba's public ``add_word``: insert/override one dictionary
+        entry (freq defaults to suggest_freq so the word wins its own
+        segmentation) and rebuild the probability table."""
+        if freq is None:
+            freq = self.suggest_freq(word)
+        if freq <= 0:
+            raise ValueError(f"add_word({word!r}): freq must be > 0")
+        self._raw[word] = float(freq)
+        if tag:
+            self.tags[word] = tag
+        self._rebuild()
+
+    def load_userdict(self, src, encoding: str = "utf-8") -> int:
+        """jieba's public ``load_userdict``: overlay 'word [freq]
+        [tag]' lines from a path or an iterable of lines — the exact
+        mechanism the reference itself demonstrates
+        (chnsegmt/jieba_example/jb_f2_userdict.py:6 +
+        dict/userdict.txt). Omitted freqs use suggest_freq against the
+        PRE-overlay distribution; one rebuild at the end (a batch of k
+        words costs O(V), not O(kV)). Returns the number of entries
+        applied."""
+        lines = (
+            open(src, encoding=encoding) if isinstance(src, str) else src
+        )
+        pending: list[tuple[str, float | None, str | None]] = []
+        for line in lines:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            word, freq, tag = parts[0], None, None
+            if len(parts) > 1:
+                try:
+                    freq = float(parts[1])
+                    tag = parts[2] if len(parts) > 2 else None
+                except ValueError:
+                    tag = parts[1]
+            pending.append((word, freq, tag))
+        resolved = [
+            (
+                word,
+                float(freq) if freq and freq > 0 else self.suggest_freq(word),
+                tag,
+            )
+            for word, freq, tag in pending
+        ]
+        for word, freq, tag in resolved:
+            self._raw[word] = freq
+            if tag:
+                self.tags[word] = tag
+        if resolved:
+            self._rebuild()
+        return len(resolved)
 
     def _load_hmm(self, path: str, encoding: str = "utf-8") -> None:
         lines = [
@@ -275,14 +357,21 @@ def load_stop_words(path: str) -> set[str]:
 
 
 def configure_dictionary(dict_path: str, hmm_path: str,
-                         encoding: str = "utf-8") -> None:
+                         encoding: str = "utf-8",
+                         user_dict: str | None = None) -> None:
     """Install dictionary paths process-wide (env vars, so forked /
     re-importing Arrow workers pick them up) and reset the cache.
     encoding="gbk" loads the reference's full production dictionary
-    (gbk_dict/jieba.dict.gbk + hmm_model.gbk) directly."""
+    (gbk_dict/jieba.dict.gbk + hmm_model.gbk) directly. ``user_dict``
+    (always UTF-8, jieba 'word [freq] [tag]' lines) is overlaid on the
+    base dictionary after load — the jb_f2_userdict.py mechanism."""
     os.environ[_ENV_DICT] = dict_path
     os.environ[_ENV_HMM] = hmm_path
     os.environ[_ENV_ENC] = encoding
+    if user_dict:
+        os.environ[_ENV_USER] = user_dict
+    else:
+        os.environ.pop(_ENV_USER, None)
     global _CACHED, _CACHED_KEY
     _CACHED, _CACHED_KEY = None, None
 
@@ -291,11 +380,12 @@ def clear_dictionary() -> None:
     os.environ.pop(_ENV_DICT, None)
     os.environ.pop(_ENV_HMM, None)
     os.environ.pop(_ENV_ENC, None)
+    os.environ.pop(_ENV_USER, None)
     global _CACHED, _CACHED_KEY
     _CACHED, _CACHED_KEY = None, None
 
 
-def snapshot_config() -> tuple[str | None, str | None, str | None]:
+def snapshot_config() -> tuple[str | None, ...]:
     """Driver-side config snapshot for shipping inside a UDF closure:
     executor python workers do NOT inherit env vars set after they
     spawn, so operators capture this at plan time and `apply_config`
@@ -305,16 +395,20 @@ def snapshot_config() -> tuple[str | None, str | None, str | None]:
         os.environ.get(_ENV_DICT),
         os.environ.get(_ENV_HMM),
         os.environ.get(_ENV_ENC),
+        os.environ.get(_ENV_USER),
     )
 
 
-def apply_config(cfg: tuple[str | None, str | None, str | None]) -> None:
-    dict_path, hmm_path, enc = cfg
+def apply_config(cfg: tuple[str | None, ...]) -> None:
+    dict_path, hmm_path, enc = cfg[0], cfg[1], cfg[2]
+    user = cfg[3] if len(cfg) > 3 else None  # pre-overlay snapshots
     if dict_path and hmm_path:
         os.environ[_ENV_DICT] = dict_path
         os.environ[_ENV_HMM] = hmm_path
         if enc:
             os.environ[_ENV_ENC] = enc
+        if user:
+            os.environ[_ENV_USER] = user
 
 
 def get_segmenter() -> MixSegmenter | None:
@@ -326,11 +420,14 @@ def get_segmenter() -> MixSegmenter | None:
     if not dict_path or not hmm_path:
         return None
     encoding = os.environ.get(_ENV_ENC, "utf-8")
-    key = (dict_path, hmm_path, encoding)
+    user = os.environ.get(_ENV_USER)
+    key = (dict_path, hmm_path, encoding, user)
     if _CACHED_KEY == key:
         return _CACHED
     if not (os.path.exists(dict_path) and os.path.exists(hmm_path)):
         return None
     _CACHED = MixSegmenter(dict_path, hmm_path, encoding=encoding)
+    if user and os.path.exists(user):
+        _CACHED.load_userdict(user)
     _CACHED_KEY = key
     return _CACHED
