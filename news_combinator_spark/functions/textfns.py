@@ -182,6 +182,150 @@ def minhash_signature(tokens: list[str], num_perm: int = 64) -> list[int]:
     return [int(v) for v in sig.min(axis=1)]
 
 
+def sketch_counts(
+    doc_counts,
+    num_perm: int = 64,
+    minhash: bool = True,
+    simhash: bool = True,
+    hash_fn=None,
+    max_vocab: int = 200_000,
+) -> tuple[list[list[int]] | None, list[int] | None]:
+    """Batched MinHash + SimHash over per-document token ``Counter``s —
+    BIT-IDENTICAL to ``minhash_signature(counts.keys())`` /
+    ``simhash64(tokens, hash_fn)`` per doc (pinned by
+    tests/test_textfns.py), but ~15x faster single-core:
+
+    - each distinct token is hashed ONCE per batch (web text is
+      Zipf-distributed; the per-doc kernels re-hash 'the' for every
+      doc),
+    - the affine MinHash permutations and the SimHash ±1 bit votes are
+      computed on a batch *vocabulary matrix* (vectorized over all new
+      tokens of a chunk at once),
+    - each doc then reduces its vocab rows by fancy indexing: ``min``
+      over rows for MinHash, ``counts @ votes`` for SimHash — two
+      C-side ops instead of per-token Python.
+
+    This is the Arrow-batch hot kernel of the dedup/cluster data plane
+    (clustering.featurize_docs/minhash_df, dedup sketches, the bench
+    kernel phase). Memory is bounded: the vocabulary matrices are
+    flushed once they exceed ``max_vocab`` rows (~1 KB/row), trading
+    re-hashing across flush boundaries for a hard cap — correctness is
+    unaffected because per-token columns are pure functions of the
+    token. ``hash_fn`` selects the SimHash per-token hash exactly as in
+    ``simhash64`` (MinHash always uses the blake2b hash, as in
+    ``minhash_signature``).
+
+    Returns ``(sigs, shs)``; either element is None when its flag is
+    off (skipping the unused half skips its matrix work).
+    """
+    if num_perm not in _MH_CACHE:
+        _MH_CACHE[num_perm] = _minhash_params(num_perm)
+    a, b = _MH_CACHE[num_perm]
+    m61 = np.uint64(_MERSENNE61)
+    a_lo = (a & np.uint64(0x7FFFFFFF))[None, :]
+    a_hi = (a >> np.uint64(31))[None, :]
+    shifts = np.arange(64, dtype=np.uint64)
+    sv_hash = hash_fn if hash_fn is not None else _stable_hash64
+
+    index: dict[str, int] = {}
+    MH = np.empty((0, num_perm), np.uint64)
+    SV = np.empty((0, 64), np.int64)
+
+    def commit(new_toks: list[str]) -> None:
+        nonlocal MH, SV
+        if minhash:
+            hs = np.fromiter(
+                (_stable_hash64(t) for t in new_toks),
+                dtype=np.uint64,
+                count=len(new_toks),
+            )
+            x = (hs % m61)[:, None]
+            lo = (x * a_lo) % m61
+            hi = (x * a_hi) % m61
+            mh = (
+                (lo + ((hi << np.uint64(31)) % m61)) % m61 + b[None, :]
+            ) % m61
+            MH = np.vstack([MH, mh])
+        if simhash:
+            hs2 = np.fromiter(
+                (sv_hash(t) for t in new_toks),
+                dtype=np.uint64,
+                count=len(new_toks),
+            )
+            bits = (
+                (hs2[:, None] >> shifts[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            SV = np.vstack([SV, 2 * bits - 1])
+
+    empty_sig = [int(_MERSENNE61)] * num_perm
+    sigs: list[list[int]] | None = [] if minhash else None
+    shs: list[int] | None = [] if simhash else None
+    doc_counts = list(doc_counts)
+    CHUNK = 1024
+    for lo_i in range(0, len(doc_counts), CHUNK):
+        chunk = doc_counts[lo_i : lo_i + CHUNK]
+        new_toks: list[str] = []
+        for counts in chunk:
+            for tok in counts:
+                if tok not in index:
+                    index[tok] = len(index)
+                    new_toks.append(tok)
+        if new_toks:
+            commit(new_toks)
+        for counts in chunk:
+            if not counts:
+                if minhash:
+                    sigs.append(list(empty_sig))
+                if simhash:
+                    shs.append(0)
+                continue
+            idx = np.fromiter(
+                (index[tok] for tok in counts),
+                dtype=np.int64,
+                count=len(counts),
+            )
+            if minhash:
+                sigs.append([int(v) for v in MH[idx].min(axis=0)])
+            if simhash:
+                cnts = np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                )
+                votes = cnts @ SV[idx]
+                val = int(
+                    (((votes > 0).astype(np.uint64)) << shifts).sum(
+                        dtype=np.uint64
+                    )
+                )
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                shs.append(val)
+        if len(index) > max_vocab:
+            index = {}
+            MH = np.empty((0, num_perm), np.uint64)
+            SV = np.empty((0, 64), np.int64)
+    return sigs, shs
+
+
+def sketch_batch(
+    texts,
+    num_perm: int = 64,
+    minhash: bool = True,
+    simhash: bool = True,
+    hash_fn=None,
+    max_vocab: int = 200_000,
+) -> tuple[list[list[int]] | None, list[int] | None]:
+    """``sketch_counts`` over raw texts: tokenize + Counter + sketch.
+    Bit-identical to the per-doc kernels applied to ``tokenize(t)``."""
+    return sketch_counts(
+        (Counter(tokenize(t or "")) for t in texts),
+        num_perm=num_perm,
+        minhash=minhash,
+        simhash=simhash,
+        hash_fn=hash_fn,
+        max_vocab=max_vocab,
+    )
+
+
 def lsh_bands(signature: list[int], bands: int = 16) -> list[tuple[int, int]]:
     """(band_id, band_hash) pairs; docs sharing any pair are candidates."""
     rows = len(signature) // bands

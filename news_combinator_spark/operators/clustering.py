@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.textfns import (
-    minhash_signature,
+    sketch_counts,
     tokenize,
 )
 from ..oracle.reference_impl import (
@@ -75,11 +75,11 @@ def featurize_docs(
 
     def _feat(batches):
         for pdf in batches:
-            toks_col, sig_col, wc_col = [], [], []
+            toks_col, counts_col, wc_col = [], [], []
             for t in pdf[text_col]:
                 toks = tokenize(t or "")
                 toks_col.append(toks)
-                sig_col.append(minhash_signature(toks, num_perm))
+                counts_col.append(Counter(toks))
                 wc_col.append(
                     [
                         {"word": w, "tf": n}
@@ -88,6 +88,9 @@ def featurize_docs(
                         ).items()
                     ]
                 )
+            sig_col, _ = sketch_counts(
+                counts_col, num_perm, simhash=False
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -200,15 +203,15 @@ def doc_tags_tfidf(
 
 def minhash_df(tokens_df: DataFrame, num_perm: int = 64) -> DataFrame:
     def _sig(batches):
+        from collections import Counter
+
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "sig": pdf["tokens"].map(
-                        lambda t: minhash_signature(list(t), num_perm)
-                    ),
-                }
+            sigs, _ = sketch_counts(
+                (Counter(t) for t in pdf["tokens"]),
+                num_perm,
+                simhash=False,
             )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return tokens_df.select("doc_id", "tokens").mapInPandas(
         _sig, schema="doc_id long, sig array<long>"

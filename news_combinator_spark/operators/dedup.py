@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 from ..functions.textfns import (
     char_ngrams,
     jaccard,
-    minhash_signature,
-    simhash64,
+    sketch_batch,
+    sketch_counts,
     tokenize,
 )
 from .clustering import candidate_pairs
@@ -109,15 +109,11 @@ def minhash_near_dups(
 
     def _sig(batches):
         for pdf in batches:
+            sig_col, _ = sketch_batch(
+                pdf["_mnd_text"], num_perm, simhash=False
+            )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "sig": pdf["_mnd_text"].map(
-                        lambda t: minhash_signature(
-                            tokenize(t or ""), num_perm
-                        )
-                    ),
-                }
+                {"doc_id": pdf["doc_id"], "sig": sig_col}
             )
 
     sigs = base.mapInPandas(_sig, schema="doc_id long, sig array<long>")
@@ -175,13 +171,11 @@ def simhash_df(
 ) -> DataFrame:
     def _sh(batches):
         for pdf in batches:
+            _, sh_col = sketch_batch(
+                pdf[text_col], minhash=False, hash_fn=hash_fn
+            )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "simhash": pdf[text_col].map(
-                        lambda t: simhash64(tokenize(t or ""), hash_fn)
-                    ),
-                }
+                {"doc_id": pdf["doc_id"], "simhash": sh_col}
             )
 
     return df.select("doc_id", text_col).mapInPandas(
@@ -479,14 +473,16 @@ def _banded_df(sigs: DataFrame, bands: int) -> DataFrame:
 
 def _sig_df(toks: DataFrame, num_perm: int) -> DataFrame:
     def _sig(batches):
+        from collections import Counter
+
         for pdf in batches:
+            sig_col, _ = sketch_counts(
+                (Counter(t) for t in pdf["tokens"]),
+                num_perm,
+                simhash=False,
+            )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "sig": pdf["tokens"].map(
-                        lambda t: minhash_signature(list(t), num_perm)
-                    ),
-                }
+                {"doc_id": pdf["doc_id"], "sig": sig_col}
             )
 
     return toks.mapInPandas(_sig, schema="doc_id long, sig array<long>")

@@ -117,3 +117,57 @@ def test_trim_spaces_v1_off_by_one():
     assert trim_spaces_v1("abc") == "ab"
     assert trim_spaces_v1("  abc  ") == "ab"
     assert trim_spaces_v1("a") == ""
+
+
+def test_sketch_batch_bit_identical_to_per_doc_kernels():
+    """The batched vocab-matrix kernel must produce EXACTLY the per-doc
+    kernels' values — same affine MinHash, same bit-vote SimHash —
+    including empty/None/CJK/single-token edge cases and both SimHash
+    hash_fn variants (blake2b and the DuckDB-reproducible md5)."""
+    from collections import Counter
+
+    from news_combinator_spark.functions.textfns import (
+        md5_hash64,
+        minhash_signature,
+        simhash64,
+        sketch_batch,
+        sketch_counts,
+        tokenize,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        None,
+        "x",
+        "一个中文测试 mixed with english 123 !?",
+        "repeated repeated repeated words words",
+    ] + [f"doc {i} shares many common tokens alpha beta {i % 3}"
+         for i in range(50)]
+
+    sigs, shs = sketch_batch(texts)
+    for i, t in enumerate(texts):
+        toks = tokenize(t or "")
+        assert sigs[i] == minhash_signature(toks, 64), i
+        assert shs[i] == simhash64(toks), i
+
+    # md5 hash_fn variant (used by the SQL-reproducible simhash oracle)
+    _, shs_md5 = sketch_batch(texts, minhash=False, hash_fn=md5_hash64)
+    assert sigs is not None and shs_md5 is not None
+    for i, t in enumerate(texts):
+        assert shs_md5[i] == simhash64(tokenize(t or ""), md5_hash64), i
+
+    # counts-level API agrees with the text-level wrapper
+    sigs2, shs2 = sketch_counts(
+        [Counter(tokenize(t or "")) for t in texts]
+    )
+    assert sigs2 == sigs and shs2 == shs
+
+    # vocab flush boundary cannot change values: the flush check runs
+    # per 1024-doc chunk, so >1024 docs + a tiny cap forces a real
+    # mid-batch flush and re-hash of repeated tokens
+    many = texts + [f"tail doc {i} gamma delta" for i in range(1100)]
+    ref_sigs, ref_shs = sketch_batch(many)
+    sigs3, shs3 = sketch_batch(many, max_vocab=8)
+    assert sigs3 == ref_sigs and shs3 == ref_shs
