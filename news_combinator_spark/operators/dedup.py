@@ -23,6 +23,8 @@ JVM-side where the semantics allow (exact paths are pure built-ins).
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -98,71 +100,61 @@ def minhash_near_dups(
     lossless-guard output equals brute force in practice (pinned by
     the driver's DuckDB oracle and tests/test_dedup.py).
 
-    Tokenization happens IN the two kernels that need it (sig build;
-    exact verify) instead of through a shared tokens frame: the
-    unpersisted tokens frame was recomputed by every consumer — three
-    full-corpus parquet scans + Python tokenize passes per run — and
-    the verify side only needs tokens for the candidate minority
-    anyway, so re-deriving them from the candidate rows' text is
-    O(candidates), not O(corpus)."""
+    One Python pass, JVM verify: the sig kernel tokenizes once and
+    emits the distinct-token array NEXT TO the signature, so exact
+    verification is whole-stage-codegen set algebra
+    (array_intersect/array_union) over the candidate join — no second
+    Arrow round-trip shipping full texts to Python per candidate pair
+    (the previous shape; at 96k candidates over 500 docs the Python
+    verify pass plus its per-pair text fan-out dominated the query).
+    jaccard(∅, ∅) = 1.0 replicates functions.textfns.jaccard."""
     base = df.select("doc_id", F.col(text_col).alias("_mnd_text"))
 
     def _sig(batches):
         for pdf in batches:
-            sig_col, _ = sketch_batch(
-                pdf["_mnd_text"], num_perm, simhash=False
-            )
+            counters = [
+                Counter(tokenize(t or "")) for t in pdf["_mnd_text"]
+            ]
+            sig_col, _ = sketch_counts(counters, num_perm, simhash=False)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sig": sig_col}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": sig_col,
+                    "toks": [list(c.keys()) for c in counters],
+                }
             )
 
-    sigs = base.mapInPandas(_sig, schema="doc_id long, sig array<long>")
-    pairs = candidate_pairs(sigs, bands, max_bucket=max_bucket)
+    # persist: the sig/token frame feeds THREE subplans of the one
+    # final plan (banding + both sides of the candidate join); Spark
+    # has no common-subexpression reuse across joins, so uncached the
+    # Arrow tokenize+sketch pass would run three times. persist (not
+    # localCheckpoint) keeps lineage for executor-loss recompute.
+    sigs = base.mapInPandas(
+        _sig, schema="doc_id long, sig array<long>, toks array<string>"
+    ).persist()
+    pairs = candidate_pairs(sigs.select("doc_id", "sig"), bands,
+                            max_bucket=max_bucket)
     joined = (
         pairs.join(
-            base.select(
-                F.col("doc_id").alias("a"),
-                F.col("_mnd_text").alias("a_text"),
+            sigs.select(
+                F.col("doc_id").alias("a"), F.col("toks").alias("a_toks")
             ),
             "a",
         ).join(
-            base.select(
-                F.col("doc_id").alias("b"),
-                F.col("_mnd_text").alias("b_text"),
+            sigs.select(
+                F.col("doc_id").alias("b"), F.col("toks").alias("b_toks")
             ),
             "b",
         )
     )
-
-    def _verify(batches):
-        for pdf in batches:
-            # memoize token SETS by doc id: candidate pairs massively
-            # repeat documents (each doc appears in up to max_bucket
-            # pairs), so tokenizing per PAIR would re-tokenize the
-            # same text O(bucket) times — measured 6x slower than
-            # per-distinct-doc at 96k pairs over 500 docs. Per-batch
-            # cache bounds memory to the batch's distinct docs.
-            cache: dict = {}
-
-            def toks(doc_id, text):
-                s = cache.get(doc_id)
-                if s is None:
-                    s = set(tokenize(text or ""))
-                    cache[doc_id] = s
-                return s
-
-            sims = [
-                jaccard(toks(a, x), toks(b, y))
-                for a, b, x, y in zip(
-                    pdf["a"], pdf["b"], pdf["a_text"], pdf["b_text"]
-                )
-            ]
-            out = pdf[["a", "b"]].copy()
-            out["jaccard_sim"] = sims
-            yield out
-
-    return joined.mapInPandas(
-        _verify, schema="a long, b long, jaccard_sim double"
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    return joined.select(
+        "a",
+        "b",
+        F.when(uni == 0, F.lit(1.0))
+        .otherwise(inter.cast("double") / uni)
+        .alias("jaccard_sim"),
     ).filter(F.col("jaccard_sim") >= threshold)
 
 
@@ -549,18 +541,19 @@ def delta_admit(
         "b",
     )
 
-    def _verify(batches):
-        for pdf in batches:
-            sims = [
-                jaccard(set(x), set(y))
-                for x, y in zip(pdf["a_tok"], pdf["b_tok"])
-            ]
-            out = pdf[["a"]].copy()
-            out["jaccard_sim"] = sims
-            yield out
-
+    # exact verify in whole-stage codegen: array_intersect/array_union
+    # dedupe, so this equals set-Jaccard over the token lists (the
+    # Python-kernel shape this replaces did set() explicitly);
+    # jaccard(∅, ∅) = 1.0 replicates functions.textfns.jaccard.
+    inter = F.size(F.array_intersect("a_tok", "b_tok"))
+    uni = F.size(F.array_union("a_tok", "b_tok"))
     dup_ids = (
-        joined.mapInPandas(_verify, schema="a long, jaccard_sim double")
+        joined.select(
+            "a",
+            F.when(uni == 0, F.lit(1.0))
+            .otherwise(inter.cast("double") / uni)
+            .alias("jaccard_sim"),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
         .select(F.col("a").alias("doc_id"))
         .distinct()
