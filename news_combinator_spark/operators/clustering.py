@@ -43,7 +43,6 @@ from ..oracle.reference_impl import (
     MAX_SIMILAR,
     SIM_BOUND,
     TAG_NUM,
-    seed_similarity,
 )
 
 
@@ -312,19 +311,35 @@ def verify_pairs(
     )
     joined = pairs.join(a_side, "a").join(b_side, "b")
 
-    def _verify(batches):
-        for pdf in batches:
-            sims = [
-                seed_similarity(list(at), list(bt), list(tg))
-                for at, bt, tg in zip(
-                    pdf["a_tokens"], pdf["b_tokens"], pdf["a_tags"]
-                )
-            ]
-            out = pdf[["a", "b"]].copy()
-            out["sim"] = sims
-            yield out
-
-    sims = joined.mapInPandas(_verify, schema="a long, b long, sim double")
+    # seed_similarity in whole-stage codegen (bit-identical to the
+    # oracle kernel oracle/reference_impl.seed_similarity): every term
+    # is an exact small integer (per-vocab-word counts), so the dot
+    # product and both squared norms are exact in int64 regardless of
+    # summation order; the only float ops — double(d1)*double(d2),
+    # sqrt, the 1e-5 guard, num/denom — happen in the same order as
+    # the Python kernel, and IEEE-754 sqrt/divide are correctly
+    # rounded in both runtimes. Replaces an Arrow round-trip that
+    # shipped both token arrays to Python once per candidate pair.
+    cnts = F.transform(
+        F.col("a_tags"),
+        lambda w: F.struct(
+            F.size(
+                F.filter("a_tokens", lambda t: t == w)
+            ).cast("long").alias("ca"),
+            F.size(
+                F.filter("b_tokens", lambda t: t == w)
+            ).cast("long").alias("cb"),
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    num = F.aggregate(cnts, zero, lambda acc, x: acc + x.ca * x.cb)
+    d1 = F.aggregate(cnts, zero, lambda acc, x: acc + x.ca * x.ca)
+    d2 = F.aggregate(cnts, zero, lambda acc, x: acc + x.cb * x.cb)
+    denom = F.sqrt(d1.cast("double") * d2.cast("double"))
+    sim = F.when(denom < F.lit(1e-5), F.lit(0.0)).otherwise(
+        num.cast("double") / denom
+    )
+    sims = joined.select("a", "b", sim.alias("sim"))
     return sims.filter(F.col("sim") >= sim_bound)
 
 
