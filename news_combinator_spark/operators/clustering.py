@@ -357,7 +357,11 @@ def _cc_union_find_local(sym: DataFrame) -> DataFrame:
             r = parent[r]
         return r
 
-    for row in sym.toLocalIterator():
+    # collect(), not toLocalIterator(): the latter schedules one job
+    # per partition (64 jobs ≈ 4s of pure scheduling for a 3k-edge
+    # list); the input is already size-gated by the caller, so a
+    # single bounded collect is the cheap and safe fetch.
+    for row in sym.collect():
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a
@@ -422,9 +426,24 @@ def connected_components(
     # (e.g. the MinHash -> banding -> verify pipeline feeding
     # near_dup_groups) re-executes per round — measured as the
     # dominant cost of the CC loop at bench scale
-    sym = edges.select("a", "b").union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # single-pass symmetrization: explode each edge into both
+    # directions instead of union(edges, swapped) — the union's two
+    # branches would each re-execute the (unpersisted) upstream edge
+    # derivation (sketch -> banding -> verify), doubling its cost
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint()
+    )
     n_sym = sym.count()
     if n_sym <= 2 * local_solve_max_edges:
         return _cc_union_find_local(sym)

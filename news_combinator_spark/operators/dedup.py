@@ -134,8 +134,32 @@ def minhash_near_dups(
     ).persist()
     pairs = candidate_pairs(sigs.select("doc_id", "sig"), bands,
                             max_bucket=max_bucket)
-    joined = (
+    # EXACT size prune before the wide-array join: jaccard(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|), so any pair whose distinct-token
+    # counts differ by more than the threshold ratio cannot verify.
+    # The size frame is narrow (two longs), so on a boilerplate-heavy
+    # corpus where banding yields near-all-pairs candidates this drops
+    # most of them before their token arrays are ever joined/shuffled
+    # — and |A ∪ B| = |A| + |B| - |A ∩ B| then replaces array_union
+    # with arithmetic, halving the per-surviving-pair array work.
+    sizes = sigs.select("doc_id", F.size("toks").alias("n"))
+    na, nb = F.col("na"), F.col("nb")
+    cand = (
         pairs.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            "b",
+        )
+        .filter(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb).cast("double")
+        )
+    )
+    joined = (
+        cand.join(
             sigs.select(
                 F.col("doc_id").alias("a"), F.col("toks").alias("a_toks")
             ),
@@ -148,7 +172,7 @@ def minhash_near_dups(
         )
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    uni = F.size(F.array_union("a_toks", "b_toks"))
+    uni = na + nb - inter
     return joined.select(
         "a",
         "b",
