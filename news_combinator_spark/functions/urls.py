@@ -128,7 +128,11 @@ def canonicalize_url(url: str) -> str:
         if parts.query
         else ""
     )
-    return urlunsplit((scheme, netloc, path, query, ""))
+    # strip the REASSEMBLED string too: dropping the fragment (or a
+    # trailing empty query) can expose whitespace/controls that were
+    # interior on the way in ('0 #' -> path '0 '), which the next
+    # canonicalize pass would then peel — breaking idempotence.
+    return _strip_junk(urlunsplit((scheme, netloc, path, query, "")))
 
 
 def url_host(url: str) -> str:

@@ -6702,9 +6702,10 @@ _R4_ROTATION = [
     "content_drift",
     # Rotated out in r3 to make room; back in now.
     "request_rate_budgets", "sitemap_index",
-    # Re-attest consumers of this round's connected-components
-    # latency work (large-star/small-star path) plus the oldest
-    # r2-only dedup attestations, to shrink overall attestation age.
+    # Re-attest consumers of this round's dedup/CC latency work (the
+    # exact size-ratio prune before near-dup verify, the single-pass
+    # edge symmetrization, and the collect-based local CC fetch) plus
+    # the oldest r2-only dedup attestations, to shrink attestation age.
     "near_dup_groups", "dedup_first", "dedup_stats",
     "minhash_near_dups", "simhash_near_dups", "pack_sequences",
     # Everything in the r3 window that dropped out here keeps its

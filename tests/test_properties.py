@@ -37,6 +37,9 @@ _urls = st.one_of(
 @example(
     url='\x1b\xa00',
 ).via('discovered failure')
+@example(
+    url='0 #',
+).via('discovered failure')
 def test_canonicalize_idempotent(url):
     """canon(canon(x)) == canon(x): the seen-set key is stable no
     matter how many times a URL round-trips through the frontier."""
