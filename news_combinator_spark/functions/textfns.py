@@ -188,7 +188,7 @@ def sketch_counts(
     minhash: bool = True,
     simhash: bool = True,
     hash_fn=None,
-    max_vocab: int = 200_000,
+    max_vocab: int = 25_000,
 ) -> tuple[list[list[int]] | None, list[int] | None]:
     """Batched MinHash + SimHash over per-document token ``Counter``s —
     BIT-IDENTICAL to ``minhash_signature(counts.keys())`` /
@@ -211,7 +211,11 @@ def sketch_counts(
     flushed once they exceed ``max_vocab`` rows (~1 KB/row), trading
     re-hashing across flush boundaries for a hard cap — correctness is
     unaffected because per-token columns are pure functions of the
-    token. ``hash_fn`` selects the SimHash per-token hash exactly as in
+    token. The default (25k rows ~ 25 MB of matrices) keeps the
+    per-doc row gathers L3-resident: interleaved A/B at 100k docs
+    measured 8.6 s vs 13.7 s against a 200k cap, because gather cost
+    is dominated by cache misses on the vocabulary matrix, not by the
+    re-hash work a larger cap avoids. ``hash_fn`` selects the SimHash per-token hash exactly as in
     ``simhash64`` (MinHash always uses the blake2b hash, as in
     ``minhash_signature``).
 
@@ -227,35 +231,56 @@ def sketch_counts(
     shifts = np.arange(64, dtype=np.uint64)
     sv_hash = hash_fn if hash_fn is not None else _stable_hash64
 
+    # vocabulary matrices grow by GEOMETRIC capacity doubling with an
+    # explicit row count, never per-chunk np.vstack: vstack re-copies
+    # the whole matrix every commit (O(V^2) bytes as the vocab grows —
+    # ~100 MB per copy near the 200k flush cap), which made large
+    # partitions slower per doc than small ones and showed up as fake
+    # anti-scaling in the 2-vs-8-core kernel cells. Doubling keeps
+    # total copy traffic O(V) amortized; values are bit-identical.
     index: dict[str, int] = {}
-    MH = np.empty((0, num_perm), np.uint64)
-    SV = np.empty((0, 64), np.int64)
+    cap = 4096
+    n_rows = 0
+    MH = np.empty((cap, num_perm), np.uint64) if minhash else None
+    SV = np.empty((cap, 64), np.int64) if simhash else None
 
     def commit(new_toks: list[str]) -> None:
-        nonlocal MH, SV
+        nonlocal MH, SV, cap, n_rows
+        k = len(new_toks)
+        if n_rows + k > cap:
+            while cap < n_rows + k:
+                cap *= 2
+            if minhash:
+                grown = np.empty((cap, num_perm), np.uint64)
+                grown[:n_rows] = MH[:n_rows]
+                MH = grown
+            if simhash:
+                grown_sv = np.empty((cap, 64), np.int64)
+                grown_sv[:n_rows] = SV[:n_rows]
+                SV = grown_sv
         if minhash:
             hs = np.fromiter(
                 (_stable_hash64(t) for t in new_toks),
                 dtype=np.uint64,
-                count=len(new_toks),
+                count=k,
             )
             x = (hs % m61)[:, None]
             lo = (x * a_lo) % m61
             hi = (x * a_hi) % m61
-            mh = (
+            MH[n_rows:n_rows + k] = (
                 (lo + ((hi << np.uint64(31)) % m61)) % m61 + b[None, :]
             ) % m61
-            MH = np.vstack([MH, mh])
         if simhash:
             hs2 = np.fromiter(
                 (sv_hash(t) for t in new_toks),
                 dtype=np.uint64,
-                count=len(new_toks),
+                count=k,
             )
             bits = (
                 (hs2[:, None] >> shifts[None, :]) & np.uint64(1)
             ).astype(np.int64)
-            SV = np.vstack([SV, 2 * bits - 1])
+            SV[n_rows:n_rows + k] = 2 * bits - 1
+        n_rows += k
 
     empty_sig = [int(_MERSENNE61)] * num_perm
     sigs: list[list[int]] | None = [] if minhash else None
@@ -300,9 +325,10 @@ def sketch_counts(
                     val -= 1 << 64
                 shs.append(val)
         if len(index) > max_vocab:
+            # flush: reset the logical row count but KEEP the allocated
+            # capacity — the next fill reuses the same buffers
             index = {}
-            MH = np.empty((0, num_perm), np.uint64)
-            SV = np.empty((0, 64), np.int64)
+            n_rows = 0
     return sigs, shs
 
 
@@ -312,7 +338,7 @@ def sketch_batch(
     minhash: bool = True,
     simhash: bool = True,
     hash_fn=None,
-    max_vocab: int = 200_000,
+    max_vocab: int = 25_000,
 ) -> tuple[list[list[int]] | None, list[int] | None]:
     """``sketch_counts`` over raw texts: tokenize + Counter + sketch.
     Bit-identical to the per-doc kernels applied to ``tokenize(t)``."""

@@ -534,8 +534,12 @@ def delta_admit(
     near_dup_groups/keep_best_in_groups on the admitted batch. The
     ``max_bucket`` guard drops corpus boilerplate buckets before the
     join, the same s^2/2 bound as candidate_pairs."""
-    inc_toks = _tokens_df(incoming, text_col)
-    cor_toks = _tokens_df(corpus, text_col)
+    # persist both token frames: each feeds TWO subplans (its band
+    # derivation and its side of the verify join) plus the narrow
+    # size-prune frame below; uncached the Arrow tokenize pass would
+    # re-run once per subplan
+    inc_toks = _tokens_df(incoming, text_col).persist()
+    cor_toks = _tokens_df(corpus, text_col).persist()
     inc_bands = _banded_df(_sig_df(inc_toks, num_perm), bands)
     cor_bands = _banded_df(_sig_df(cor_toks, num_perm), bands)
     w_bucket = Window.partitionBy("band_id", "band_hash")
@@ -556,6 +560,32 @@ def delta_admit(
         )
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    # EXACT size prune (same law as minhash_near_dups): set-jaccard
+    # <= min(|A|,|B|)/max(|A|,|B|) over DISTINCT token counts, so
+    # candidates whose counts differ beyond the threshold ratio drop
+    # on a narrow join before their token arrays are joined/shuffled.
+    na, nb = F.col("na"), F.col("nb")
+    cand = (
+        cand.join(
+            inc_toks.select(
+                F.col("doc_id").alias("a"),
+                F.size(F.array_distinct("tokens")).alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            cor_toks.select(
+                F.col("doc_id").alias("b"),
+                F.size(F.array_distinct("tokens")).alias("nb"),
+            ),
+            "b",
+        )
+        .filter(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb).cast("double")
+        )
+        .select("a", "b")
     )
     joined = cand.join(
         inc_toks.select(F.col("doc_id").alias("a"), F.col("tokens").alias("a_tok")),
