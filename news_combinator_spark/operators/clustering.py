@@ -287,59 +287,65 @@ def verify_pairs(
     edges with sim >= bound. Seed = lower doc_id (scan order), exactly
     the pair the reference's j>i loop would inspect.
 
-    Shuffle shape: the doc-sized token/tag frames are first semi-join
-    restricted to the doc ids that actually appear in a candidate
-    pair — post-LSH candidates are a small minority of the corpus, so
-    the two per-side equi-joins below shuffle candidate-sized frames
-    instead of moving the full (wide) token table twice."""
+    Shuffle shape: the similarity terms only ever need the 15 seed-tag
+    counts per side, so the verification runs over narrow
+    (doc, word, tf) rows — (pair, tag) rows equi-join the per-doc term
+    counts twice (seed side, probe side) and a map-side-combined
+    groupBy(a, b) folds the exact int64 dot product and norms. The
+    token arrays themselves NEVER shuffle: an earlier shape shipped
+    both full token arrays per candidate pair and scanned them once
+    per tag (O(tags x tokens) comparisons per pair — ~200M string
+    equality checks at 14k candidates); this shape's join traffic is
+    candidate-vocabulary-sized, which is what survives at 10^8
+    candidates.
+
+    The arithmetic is bit-identical to the oracle kernel
+    (oracle/reference_impl.seed_similarity): every term is an exact
+    small integer (per-vocab-word counts), so the dot product and both
+    squared norms are exact in int64 regardless of summation order;
+    the only float ops — double(d1)*double(d2), sqrt, the 1e-5 guard,
+    num/denom — happen in the same order as the Python kernel, and
+    IEEE-754 sqrt/divide are correctly rounded in both runtimes.
+    """
     ids_in_pairs = (
         pairs.select(F.col("a").alias("doc_id"))
         .union(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    toks = tokens_df.join(ids_in_pairs, "doc_id", "semi")
-    a_side = toks.select(
-        F.col("doc_id").alias("a"), F.col("tokens").alias("a_tokens")
-    ).join(
-        tags_df.select(
-            F.col("doc_id").alias("a"), F.col("tags").alias("a_tags")
-        ),
-        "a",
+    tf = _tf_rows(tokens_df.join(ids_in_pairs, "doc_id", "semi"))
+    # (a, b, word): one row per (candidate pair, seed tag). Tag arrays
+    # are <= TAG_NUM long and non-empty by doc_tags construction, so
+    # the explode is a bounded fan-out and never drops a pair the old
+    # inner-join-on-tags shape kept.
+    pt = pairs.join(
+        tags_df.select(F.col("doc_id").alias("a"), "tags"), "a"
+    ).select("a", "b", F.explode("tags").alias("word"))
+    ca = tf.select(
+        F.col("doc_id").alias("a"), "word", F.col("tf").alias("ca")
     )
-    b_side = toks.select(
-        F.col("doc_id").alias("b"), F.col("tokens").alias("b_tokens")
+    cb = tf.select(
+        F.col("doc_id").alias("b"), "word", F.col("tf").alias("cb")
     )
-    joined = pairs.join(a_side, "a").join(b_side, "b")
-
-    # seed_similarity in whole-stage codegen (bit-identical to the
-    # oracle kernel oracle/reference_impl.seed_similarity): every term
-    # is an exact small integer (per-vocab-word counts), so the dot
-    # product and both squared norms are exact in int64 regardless of
-    # summation order; the only float ops — double(d1)*double(d2),
-    # sqrt, the 1e-5 guard, num/denom — happen in the same order as
-    # the Python kernel, and IEEE-754 sqrt/divide are correctly
-    # rounded in both runtimes. Replaces an Arrow round-trip that
-    # shipped both token arrays to Python once per candidate pair.
-    cnts = F.transform(
-        F.col("a_tags"),
-        lambda w: F.struct(
-            F.size(
-                F.filter("a_tokens", lambda t: t == w)
-            ).cast("long").alias("ca"),
-            F.size(
-                F.filter("b_tokens", lambda t: t == w)
-            ).cast("long").alias("cb"),
-        ),
+    terms = (
+        pt.join(ca, ["a", "word"], "left")
+        .join(cb, ["b", "word"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+        )
     )
-    zero = F.lit(0).cast("long")
-    num = F.aggregate(cnts, zero, lambda acc, x: acc + x.ca * x.cb)
-    d1 = F.aggregate(cnts, zero, lambda acc, x: acc + x.ca * x.ca)
-    d2 = F.aggregate(cnts, zero, lambda acc, x: acc + x.cb * x.cb)
-    denom = F.sqrt(d1.cast("double") * d2.cast("double"))
+    agg = terms.groupBy("a", "b").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("num"),
+        F.sum(F.col("ca") * F.col("ca")).alias("d1"),
+        F.sum(F.col("cb") * F.col("cb")).alias("d2"),
+    )
+    denom = F.sqrt(F.col("d1").cast("double") * F.col("d2").cast("double"))
     sim = F.when(denom < F.lit(1e-5), F.lit(0.0)).otherwise(
-        num.cast("double") / denom
+        F.col("num").cast("double") / denom
     )
-    sims = joined.select("a", "b", sim.alias("sim"))
+    sims = agg.select("a", "b", sim.alias("sim"))
     return sims.filter(F.col("sim") >= sim_bound)
 
 
@@ -542,15 +548,14 @@ def greedy_relabel(
             .drop("n_edges")
         )
 
-    def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _greedy_one(sub: pd.DataFrame, rows: list) -> None:
         nbrs: dict[int, list[int]] = {}
         nodes = set()
-        for a, b in zip(pdf["a"], pdf["b"]):
+        for a, b in zip(sub["a"], sub["b"]):
             nbrs.setdefault(int(a), []).append(int(b))
             nodes.add(int(a))
             nodes.add(int(b))
         handled: set[int] = set()
-        rows = []
         for i in sorted(nodes):
             if i in handled:
                 continue
@@ -562,12 +567,34 @@ def greedy_relabel(
                 handled.update(similar)
                 rows.append((i, i, 0))
                 rows.extend((i, j, r + 1) for r, j in enumerate(similar))
+
+    def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # One Arrow group per HASH BUCKET of components, not per
+        # component: components are processed independently inside the
+        # loop (identical semantics), but near-dup corpora produce
+        # thousands of tiny components and one pandas-group dispatch
+        # each dominated the stage (~8s of pure per-group overhead for
+        # 12k edges at 20k docs). Bucketing amortizes the dispatch
+        # ~30x; a pathological giant component still lands in a single
+        # bucket, exactly as it landed in a single group before.
+        rows: list = []
+        for _, sub in pdf.groupby("component", sort=False):
+            _greedy_one(sub, rows)
         return pd.DataFrame(
             rows, columns=["cluster_id", "doc_id", "member_rank"]
         )
 
-    return e.groupBy("component").applyInPandas(
-        _greedy, schema="cluster_id long, doc_id long, member_rank int"
+    n_buckets = max(
+        64, edges.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    return (
+        e.withColumn(
+            "_bkt", F.pmod(F.xxhash64("component"), F.lit(n_buckets))
+        )
+        .groupBy("_bkt")
+        .applyInPandas(
+            _greedy, schema="cluster_id long, doc_id long, member_rank int"
+        )
     )
 
 
@@ -582,15 +609,14 @@ def greedy_relabel_v1(
         components.withColumnRenamed("doc_id", "a"), "a"
     ).select("component", "a", "b", "sim")
 
-    def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _greedy_one(sub: pd.DataFrame, rows: list) -> None:
         nbrs: dict[int, list[tuple[float, int]]] = {}
         nodes = set()
-        for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim"]):
+        for a, b, s in zip(sub["a"], sub["b"], sub["sim"]):
             nbrs.setdefault(int(a), []).append((float(s), int(b)))
             nodes.add(int(a))
             nodes.add(int(b))
         consumed: set[int] = set()
-        rows = []
         for i in sorted(nodes):
             if i in consumed:
                 continue
@@ -606,12 +632,27 @@ def greedy_relabel_v1(
             consumed.add(j)
             rows.append((i, i, 0))
             rows.append((i, j, 1))
+
+    def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Hash-bucketed dispatch, same amortization as greedy_relabel.
+        rows: list = []
+        for _, sub in pdf.groupby("component", sort=False):
+            _greedy_one(sub, rows)
         return pd.DataFrame(
             rows, columns=["cluster_id", "doc_id", "member_rank"]
         )
 
-    return e.groupBy("component").applyInPandas(
-        _greedy, schema="cluster_id long, doc_id long, member_rank int"
+    n_buckets = max(
+        64, edges.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    return (
+        e.withColumn(
+            "_bkt", F.pmod(F.xxhash64("component"), F.lit(n_buckets))
+        )
+        .groupBy("_bkt")
+        .applyInPandas(
+            _greedy, schema="cluster_id long, doc_id long, member_rank int"
+        )
     )
 
 
