@@ -166,6 +166,10 @@ SQL_BENCH_QUERIES = [
     "adaptive_length",
     "content_drift",
     "index_delta_merge",
+    # added round 4 (multimodal_features joins the battery now that it
+    # is a real PNG decode rather than the stub codec)
+    "multimodal_features",
+    "audio_features",
 ]
 
 

@@ -6,7 +6,7 @@ crawler.php:66-114; GC clearpic.php:38-77). Here the binary payload is
 a first-class `binary` column with typed metadata, and decode /
 feature-extract steps are Arrow `mapInPandas` kernels.
 
-Two codec tiers:
+Three codec tiers:
 
 * a REAL PNG codec (`encode_png_gray` / `decode_png_gray`) for 8-bit
   non-interlaced grayscale — genuine PNG bytes (signature, IHDR with
@@ -14,8 +14,13 @@ Two codec tiers:
   struct/zlib, so the decode path (header parse, CRC check, inflate,
   scanline de-filter) is exercised end to end and hash-checked by the
   `multimodal_features` DuckDB oracle;
+* a REAL WAV codec (`encode_wav_pcm16` / `decode_wav_pcm16`) for
+  PCM/mono/16-bit — genuine RIFF/WAVE bytes (fmt + data chunk walk,
+  word alignment) round-tripped with only stdlib struct, giving the
+  AUDIO modality the same real decode + feature-extract path,
+  hash-checked by the `audio_features` DuckDB oracle;
 * the legacy NCIM deterministic STUB for the generic binary-column
-  plumbing tests. Payloads in neither tier's format raise
+  plumbing tests. Payloads in no tier's format raise
   NotImplementedError exactly like an unsupported codec would
   (full-color JPEG/video still needs PIL/ffmpeg, absent here).
 """
@@ -202,6 +207,105 @@ def with_image_features(df: DataFrame, payload_col: str = "payload") -> DataFram
     )
     return df.mapInPandas(
         _feat, schema=f"{keep}, width int, height int, mean_pixel double"
+    )
+
+
+_RIFF_SIG = b"RIFF"
+
+
+def encode_wav_pcm16(n_samples: int, rate: int, seed: int) -> bytes:
+    """A REAL minimal WAV: RIFF/WAVE container, PCM fmt chunk (mono,
+    16-bit, `rate` Hz), data chunk of samples
+    s_j = ((seed + j*97) % 4001) - 2000. Any standards-compliant WAV
+    reader plays it; ours below round-trips it. The sample generator
+    is closed-form so a SQL oracle can replay the decoded features
+    arithmetically without touching the bytes."""
+    data = b"".join(
+        struct.pack("<h", ((seed + j * 97) % 4001) - 2000)
+        for j in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _RIFF_SIG + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, bytes]:
+    """REAL WAV decode for the PCM/mono/16-bit subset: RIFF signature
+    + WAVE form type, chunk walk with word-aligned skipping, fmt
+    validation, data extraction. Returns (sample_rate, raw_samples).
+    Compressed / multi-channel / other-depth audio raises
+    NotImplementedError exactly like a codec asked for a format it
+    doesn't support (ffmpeg/soundfile are absent in this container)."""
+    if payload is None or bytes(payload[:4]) != _RIFF_SIG:
+        raise NotImplementedError("not a RIFF payload")
+    if bytes(payload[8:12]) != b"WAVE":
+        raise NotImplementedError("RIFF form is not WAVE")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = bytes(payload[pos : pos + 4])
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = bytes(payload[pos + 8 : pos + 8 + ln])
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, depth = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or depth != 16:
+                raise NotImplementedError(
+                    "only PCM mono 16-bit WAV supported"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, data
+
+
+def with_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL WAV decode -> (sample_rate, n_samples,
+    duration_ms, peak_amp, mean_abs_amp). Same mapInPandas contract
+    as with_png_features: bytes in, numeric features out, one Arrow
+    record batch at a time, no driver involvement. mean_abs (not RMS)
+    keeps the feature an integer-sum / count ratio — bit-stable
+    across engines for the hash oracle."""
+
+    def _feat(batches):
+        for pdf in batches:
+            rates, ns, durs, peaks, means = [], [], [], [], []
+            for payload in pdf[payload_col]:
+                rate, data = decode_wav_pcm16(bytes(payload))
+                n = len(data) // 2
+                samples = struct.unpack(f"<{n}h", data)
+                rates.append(rate)
+                ns.append(n)
+                durs.append((n * 1000) // rate)
+                peaks.append(max((abs(s) for s in samples), default=0))
+                means.append(
+                    sum(abs(s) for s in samples) / max(n, 1)
+                )
+            out = pdf[[c for c in pdf.columns if c != payload_col]].copy()
+            out["sample_rate"] = rates
+            out["n_samples"] = ns
+            out["duration_ms"] = durs
+            out["peak_amp"] = peaks
+            out["mean_abs_amp"] = means
+            yield out
+
+    keep = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        _feat,
+        schema=(
+            f"{keep}, sample_rate int, n_samples int, duration_ms int, "
+            "peak_amp int, mean_abs_amp double"
+        ),
     )
 
 

@@ -46,7 +46,12 @@ from ..operators.bucketing import reshard_moves
 from ..operators.sampling import alpha_mix_shares
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
-from ..operators.multimodal import encode_png_gray, with_png_features
+from ..operators.multimodal import (
+    encode_png_gray,
+    encode_wav_pcm16,
+    with_png_features,
+    with_wav_features,
+)
 from ..operators.ranking import partitioned_global_rank, ranked_prefix
 from ..operators.summarize import add_abstract_column
 from ..oracle.crawl_sql import (
@@ -1826,6 +1831,60 @@ SQL_MULTIMODAL_FEATURES = """
            CAST(h AS INT) AS height,
            round(avg(v), 4) AS mean_pixel
     FROM px GROUP BY media_id, w, h
+"""
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio binary-column decode (multimodal.with_wav_features):
+    64 GENUINE RIFF/WAVE payloads (PCM fmt chunk, word-aligned chunk
+    walk, 16-bit mono data; sample s_j = ((seed + j*97) % 4001) -
+    2000) go through the real decode path inside an Arrow mapInPandas
+    kernel — the audio twin of multimodal_features, modeling the
+    reference's out-of-band media handling (crawler.php:66-114) as a
+    typed binary column. The DuckDB oracle cannot parse WAV, but the
+    sample generator is closed-form, so it replays (n_samples,
+    duration_ms, peak_amp, mean_abs_amp) arithmetically and the hash
+    gate pins that the codec round-trip reproduces them exactly.
+    duration uses floor division on positive ints (trunc == floor on
+    both engines); mean_abs is an exact-int sum / count, identical
+    IEEE on both engines at round(.,4)."""
+    rows = [
+        (i, i % 7, 20240101 + i % 5, "audio",
+         encode_wav_pcm16(240 + (i % 7) * 40, 8000 + (i % 3) * 4000, i))
+        for i in range(64)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, abstract_id long, day_time int, kind string, "
+        "payload binary",
+    )
+    return with_wav_features(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        "peak_amp", F.round("mean_abs_amp", 4).alias("mean_abs_amp"),
+    )
+
+
+SQL_AUDIO_FEATURES = """
+    WITH m AS (SELECT unnest(range(0, 64)) AS media_id),
+    dims AS (
+      SELECT media_id,
+             240 + (media_id % 7) * 40 AS n,
+             8000 + (media_id % 3) * 4000 AS rate
+      FROM m
+    ),
+    smp AS (
+      SELECT media_id, n, rate,
+             abs(((media_id + g.j * 97) % 4001) - 2000) AS a
+      FROM dims, (SELECT unnest(range(0, 480)) AS j) g
+      WHERE g.j < n
+    )
+    SELECT media_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST((n * 1000) // rate AS INT) AS duration_ms,
+           CAST(max(a) AS INT) AS peak_amp,
+           round(avg(a), 4) AS mean_abs_amp
+    FROM smp GROUP BY media_id, n, rate
 """
 
 
@@ -6623,6 +6682,7 @@ _QUERIES_BY_FAMILY = {
         q_multimodal_features,
         SQL_MULTIMODAL_FEATURES,
     ),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     # round-3 additions (attestation candidates for the r4 window;
     # locally hash-gated by test_queries_vs_duckdb from day one)
     "delta_admit": (q_delta_admit, SQL_DELTA_ADMIT),
@@ -6687,9 +6747,11 @@ _R4_ROTATION = [
     # driver-red oracles rewritten for cross-engine hash stability,
     # the PNG-codec multimodal query (now hash-gated), the zero-span
     # freshness guard, the JSON-escaped archive exports, the
-    # type-aware postings merge, and the replaced pii_scrub.
+    # type-aware postings merge, and the replaced pii_scrub; plus the
+    # NEW audio_features (real WAV/PCM codec — new queries enter the
+    # window the round they ship, never outside it).
     "admission_funnel", "shard_manifest", "multimodal_features",
-    "freshness_revisit", "cdx_export", "wat_export",
+    "audio_features", "freshness_revisit", "cdx_export", "wat_export",
     "index_delta_merge", "pii_scrub",
     # Never driver-attested round-3 additions (VERDICT r3 missing #1).
     "delta_admit", "canonical_best", "trap_hosts", "host_reputation",
@@ -6705,8 +6767,12 @@ _R4_ROTATION = [
     # Re-attest consumers of this round's dedup/CC latency work (the
     # exact size-ratio prune before near-dup verify, the single-pass
     # edge symmetrization, and the collect-based local CC fetch) plus
-    # the oldest r2-only dedup attestations, to shrink attestation age.
-    "near_dup_groups", "dedup_first", "dedup_stats",
+    # the oldest r2-only dedup attestations, to shrink attestation
+    # age. (dedup_first yielded its slot to audio_features: its exact
+    # keep-first path did not change this round, so its r2 green row
+    # is still valid for the implementation it attests, and the local
+    # all-pairs gate covers it every run.)
+    "near_dup_groups", "dedup_stats",
     "minhash_near_dups", "simhash_near_dups", "pack_sequences",
     # Everything in the r3 window that dropped out here keeps its
     # CORRECTNESS_r03.json green row (earned by the implementation

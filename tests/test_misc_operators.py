@@ -367,3 +367,61 @@ def test_png_codec_roundtrip_and_integrity(spark):
     out = with_png_features(media).collect()[0]
     assert (out["width"], out["height"]) == (5, 4)
     assert out["mean_pixel"] == sum(px) / 20
+
+
+def test_wav_codec_roundtrip_and_integrity(spark):
+    import struct
+
+    from news_combinator_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        with_wav_features,
+    )
+
+    wav = encode_wav_pcm16(240, 8000, 5)
+    # genuine RIFF/WAVE container: RIFF size WAVE, fmt chunk first
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert wav[12:16] == b"fmt "
+    rate, data = decode_wav_pcm16(wav)
+    assert rate == 8000 and len(data) == 480
+    samples = struct.unpack("<240h", data)
+    assert list(samples) == [
+        ((5 + j * 97) % 4001) - 2000 for j in range(240)
+    ]
+
+    # odd-length chunks are word-aligned: splice a 3-byte LIST chunk
+    # between fmt and data (pad byte after it, per RIFF) and the walk
+    # must still find the data chunk
+    fmt_end = 12 + 8 + 16
+    body = (
+        b"WAVE" + wav[12:fmt_end]
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + wav[fmt_end:]
+    )
+    spliced = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate2, data2 = decode_wav_pcm16(spliced)
+    assert rate2 == 8000 and data2 == data
+
+    # unsupported formats act like a missing codec, not a crash
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(b"\xff\xfb mpeg-ish frame")
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + stereo_fmt
+    )
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav_pcm16(stereo)
+    with pytest.raises(ValueError, match="missing"):
+        decode_wav_pcm16(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+    # the Spark kernel end-to-end
+    media = spark.createDataFrame(
+        [(1, wav)], "media_id long, payload binary"
+    )
+    out = with_wav_features(media).collect()[0]
+    assert out["sample_rate"] == 8000
+    assert out["n_samples"] == 240
+    assert out["duration_ms"] == 30
+    assert out["peak_amp"] == max(abs(s) for s in samples)
+    assert out["mean_abs_amp"] == sum(abs(s) for s in samples) / 240
