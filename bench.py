@@ -170,6 +170,7 @@ SQL_BENCH_QUERIES = [
     # is a real PNG decode rather than the stub codec)
     "multimodal_features",
     "audio_features",
+    "video_features",
 ]
 
 

@@ -6,7 +6,7 @@ crawler.php:66-114; GC clearpic.php:38-77). Here the binary payload is
 a first-class `binary` column with typed metadata, and decode /
 feature-extract steps are Arrow `mapInPandas` kernels.
 
-Three codec tiers:
+Four codec tiers:
 
 * a REAL PNG codec (`encode_png_gray` / `decode_png_gray`) for 8-bit
   non-interlaced grayscale — genuine PNG bytes (signature, IHDR with
@@ -19,6 +19,11 @@ Three codec tiers:
   word alignment) round-tripped with only stdlib struct, giving the
   AUDIO modality the same real decode + feature-extract path,
   hash-checked by the `audio_features` DuckDB oracle;
+* a REAL AVI codec (`encode_avi_gray` / `decode_avi_gray`) for
+  uncompressed 8-bit DIB video — genuine RIFF('AVI ') bytes
+  (spec-shaped hdrl with avih/strh/strf, movi LIST of '00db' frames)
+  round-tripped with only stdlib struct, plus FRAME SAMPLING in the
+  feature kernel, hash-checked by the `video_features` DuckDB oracle;
 * the legacy NCIM deterministic STUB for the generic binary-column
   plumbing tests. Payloads in no tier's format raise
   NotImplementedError exactly like an unsupported codec would
@@ -305,6 +310,164 @@ def with_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema=(
             f"{keep}, sample_rate int, n_samples int, duration_ms int, "
             "peak_amp int, mean_abs_amp double"
+        ),
+    )
+
+
+def encode_avi_gray(
+    width: int, height: int, n_frames: int, fps: int, seed: int
+) -> bytes:
+    """A REAL minimal AVI: RIFF('AVI ') with a spec-shaped hdrl LIST
+    (avih main header + one strl stream with strh/strf for an
+    uncompressed 8-bit DIB video stream) and a movi LIST of '00db'
+    raw frame chunks. Frame f's pixel i is
+    (seed + f*13 + i*31) % 251 — closed-form, so a SQL oracle can
+    replay sampled-frame statistics without parsing the container."""
+    frames = []
+    for f in range(n_frames):
+        frames.append(
+            bytes(
+                (seed + f * 13 + i * 31) % 251
+                for i in range(width * height)
+            )
+        )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_bytes = width * height
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,          # microseconds per frame
+        frame_bytes * fps,         # max bytes/sec
+        0, 0x10,                   # padding, flags (AVIF_HASINDEX off)
+        n_frames, 0, 1, frame_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+            frame_bytes, 0, 0, 0,
+        ) + struct.pack("<HHHH", 0, 0, width, height)
+    )
+    # BITMAPINFOHEADER, 8-bit + a 256-entry grayscale palette
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 8, 0,
+        frame_bytes, 0, 0, 256, 0,
+    ) + b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        ),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return _RIFF_SIG + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_gray(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[bytes]]:
+    """REAL AVI decode for the uncompressed-8-bit-DIB subset: RIFF
+    signature + 'AVI ' form type, recursive LIST walk, avih main
+    header (dims, frame count, frame period), '00db' frame chunk
+    collection. Returns (width, height, n_frames, us_per_frame,
+    frames). Compressed fourccs raise NotImplementedError like a
+    codec asked for a format it doesn't support."""
+    if payload is None or bytes(payload[:4]) != _RIFF_SIG:
+        raise NotImplementedError("not a RIFF payload")
+    if bytes(payload[8:12]) != b"AVI ":
+        raise NotImplementedError("RIFF form is not AVI")
+    width = height = n_frames = uspf = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, n_frames, uspf
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = bytes(buf[pos : pos + 4])
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = bytes(buf[pos + 8 : pos + 8 + ln])
+            if tag == b"LIST":
+                walk(body[4:])  # skip the 4-byte list kind
+            elif tag == b"avih":
+                vals = struct.unpack("<IIIIIIIIIIIIII", body[:56])
+                uspf, n_frames = vals[0], vals[4]
+                width, height = vals[8], vals[9]
+            elif tag == b"strh":
+                if body[:4] == b"vids" and body[4:8] not in (
+                    b"DIB ", b"\x00\x00\x00\x00"
+                ):
+                    raise NotImplementedError(
+                        "only uncompressed DIB video supported"
+                    )
+            elif tag == b"00dc":
+                raise NotImplementedError(
+                    "compressed frame chunks unsupported"
+                )
+            elif tag == b"00db":
+                frames.append(body)
+            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+
+    walk(bytes(payload[12:]))
+    if width is None or n_frames is None:
+        raise ValueError("AVI missing avih header")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"AVI frame count mismatch: header {n_frames}, "
+            f"found {len(frames)}"
+        )
+    return width, height, n_frames, uspf, frames
+
+
+def with_video_features(
+    df: DataFrame, payload_col: str = "payload", sample_stride: int = 2
+) -> DataFrame:
+    """Arrow-batched REAL AVI decode + FRAME SAMPLING -> (width,
+    height, n_frames, duration_ms, sampled mean pixel). Sampling
+    takes every `sample_stride`-th frame starting at 0 — the decode /
+    frame-sample step of a video pipeline, same mapInPandas contract
+    as the image/audio kernels: bytes in, numeric features out, no
+    driver involvement. The sampled mean is an exact integer sum over
+    sampled pixels / their count — bit-stable across engines for the
+    hash oracle."""
+
+    def _feat(batches):
+        for pdf in batches:
+            ws, hs, ns, durs, means = [], [], [], [], []
+            for payload in pdf[payload_col]:
+                w, h, n, uspf, frames = decode_avi_gray(bytes(payload))
+                sampled = frames[::sample_stride]
+                tot = sum(sum(fr) for fr in sampled)
+                cnt = sum(len(fr) for fr in sampled)
+                ws.append(w)
+                hs.append(h)
+                ns.append(n)
+                durs.append((n * uspf) // 1000)
+                means.append(tot / max(cnt, 1))
+            out = pdf[[c for c in pdf.columns if c != payload_col]].copy()
+            out["width"] = ws
+            out["height"] = hs
+            out["n_frames"] = ns
+            out["duration_ms"] = durs
+            out["sampled_mean"] = means
+            yield out
+
+    keep = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        _feat,
+        schema=(
+            f"{keep}, width int, height int, n_frames int, "
+            "duration_ms int, sampled_mean double"
         ),
     )
 

@@ -47,9 +47,11 @@ from ..operators.sampling import alpha_mix_shares
 from ..operators.frontier import crawl
 from ..operators.merge import merge_into
 from ..operators.multimodal import (
+    encode_avi_gray,
     encode_png_gray,
     encode_wav_pcm16,
     with_png_features,
+    with_video_features,
     with_wav_features,
 )
 from ..operators.ranking import partitioned_global_rank, ranked_prefix
@@ -1885,6 +1887,64 @@ SQL_AUDIO_FEATURES = """
            CAST(max(a) AS INT) AS peak_amp,
            round(avg(a), 4) AS mean_abs_amp
     FROM smp GROUP BY media_id, n, rate
+"""
+
+
+def q_video_features(spark, sf_dir):
+    """Video binary-column decode + FRAME SAMPLING
+    (multimodal.with_video_features): 64 GENUINE AVI payloads
+    (RIFF('AVI ') with a spec-shaped hdrl LIST — avih + strl/strh/strf
+    for an uncompressed 8-bit DIB stream — and a movi LIST of '00db'
+    frame chunks; frame f pixel i = (seed + f*13 + i*31) % 251) go
+    through the real container walk, then every 2nd frame is sampled
+    — the decode / frame-sample step of a video pipeline as an Arrow
+    mapInPandas kernel. The DuckDB oracle replays the closed-form
+    sampled-pixel statistics arithmetically; the hash gate pins that
+    the container round-trip + sampling reproduce them exactly.
+    duration_ms uses positive-int floor division on both engines."""
+    rows = [
+        (i, i % 7, 20240101 + i % 5, "video",
+         encode_avi_gray(
+             6 + i % 4, 4 + i % 3, 4 + i % 5, 10 + (i % 2) * 5, i
+         ))
+        for i in range(64)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, abstract_id long, day_time int, kind string, "
+        "payload binary",
+    )
+    return with_video_features(media, sample_stride=2).select(
+        "media_id", "width", "height", "n_frames", "duration_ms",
+        F.round("sampled_mean", 4).alias("sampled_mean"),
+    )
+
+
+SQL_VIDEO_FEATURES = """
+    WITH m AS (SELECT unnest(range(0, 64)) AS media_id),
+    dims AS (
+      SELECT media_id,
+             6 + media_id % 4 AS w,
+             4 + media_id % 3 AS h,
+             4 + media_id % 5 AS n,
+             10 + (media_id % 2) * 5 AS fps
+      FROM m
+    ),
+    px AS (
+      SELECT media_id, w, h, n, fps,
+             (media_id + f.f * 13 + g.j * 31) % 251 AS v
+      FROM dims,
+           (SELECT unnest(range(0, 8, 2)) AS f) f,
+           (SELECT unnest(range(0, 54)) AS j) g
+      WHERE f.f < n AND g.j < w * h
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n AS INT) AS n_frames,
+           CAST((n * (1000000 // fps)) // 1000 AS INT) AS duration_ms,
+           round(avg(v), 4) AS sampled_mean
+    FROM px GROUP BY media_id, w, h, n, fps
 """
 
 
@@ -6683,6 +6743,7 @@ _QUERIES_BY_FAMILY = {
         SQL_MULTIMODAL_FEATURES,
     ),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
     # round-3 additions (attestation candidates for the r4 window;
     # locally hash-gated by test_queries_vs_duckdb from day one)
     "delta_admit": (q_delta_admit, SQL_DELTA_ADMIT),
@@ -6751,7 +6812,8 @@ _R4_ROTATION = [
     # NEW audio_features (real WAV/PCM codec — new queries enter the
     # window the round they ship, never outside it).
     "admission_funnel", "shard_manifest", "multimodal_features",
-    "audio_features", "freshness_revisit", "cdx_export", "wat_export",
+    "audio_features", "video_features",
+    "freshness_revisit", "cdx_export", "wat_export",
     "index_delta_merge", "pii_scrub",
     # Never driver-attested round-3 additions (VERDICT r3 missing #1).
     "delta_admit", "canonical_best", "trap_hosts", "host_reputation",
@@ -6768,12 +6830,13 @@ _R4_ROTATION = [
     # exact size-ratio prune before near-dup verify, the single-pass
     # edge symmetrization, and the collect-based local CC fetch) plus
     # the oldest r2-only dedup attestations, to shrink attestation
-    # age. (dedup_first yielded its slot to audio_features: its exact
-    # keep-first path did not change this round, so its r2 green row
-    # is still valid for the implementation it attests, and the local
-    # all-pairs gate covers it every run.)
+    # age. (dedup_first and pack_sequences yielded their slots to the
+    # new audio_features/video_features: their exact keep-first and
+    # packing paths did not change this round, so their r2 green rows
+    # are still valid for the implementations they attest, and the
+    # local all-pairs gate covers both every run.)
     "near_dup_groups", "dedup_stats",
-    "minhash_near_dups", "simhash_near_dups", "pack_sequences",
+    "minhash_near_dups", "simhash_near_dups",
     # Everything in the r3 window that dropped out here keeps its
     # CORRECTNESS_r03.json green row (earned by the implementation
     # it still has) plus the always-on local all-pairs gate.

@@ -425,3 +425,51 @@ def test_wav_codec_roundtrip_and_integrity(spark):
     assert out["duration_ms"] == 30
     assert out["peak_amp"] == max(abs(s) for s in samples)
     assert out["mean_abs_amp"] == sum(abs(s) for s in samples) / 240
+
+
+def test_avi_codec_roundtrip_and_frame_sampling(spark):
+    import struct
+
+    from news_combinator_spark.operators.multimodal import (
+        decode_avi_gray,
+        encode_avi_gray,
+        with_video_features,
+    )
+
+    avi = encode_avi_gray(8, 6, 5, 10, 3)
+    # genuine RIFF/AVI container: RIFF size 'AVI ', hdrl LIST first
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert avi[12:16] == b"LIST" and avi[20:24] == b"hdrl"
+    w, h, n, uspf, frames = decode_avi_gray(avi)
+    assert (w, h, n, uspf) == (8, 6, 5, 100_000)
+    for f, fr in enumerate(frames):
+        assert list(fr) == [
+            (3 + f * 13 + i * 31) % 251 for i in range(48)
+        ]
+
+    # header/body frame-count mismatch must be detected
+    truncated = avi[: avi.rfind(b"00db")]
+    # fix the RIFF size so only the frame loss is the defect
+    body_len = len(truncated) - 8
+    truncated = (
+        truncated[:4] + struct.pack("<I", body_len) + truncated[8:]
+    )
+    with pytest.raises(ValueError, match="frame count"):
+        decode_avi_gray(truncated)
+
+    # compressed streams act like a missing codec
+    with pytest.raises(NotImplementedError):
+        decode_avi_gray(b"\x00\x00\x01\xba mpeg-ps")
+
+    # the Spark kernel end-to-end: every 2nd frame sampled
+    media = spark.createDataFrame(
+        [(1, avi)], "media_id long, payload binary"
+    )
+    out = with_video_features(media, sample_stride=2).collect()[0]
+    assert (out["width"], out["height"], out["n_frames"]) == (8, 6, 5)
+    assert out["duration_ms"] == (5 * 100_000) // 1000
+    sampled = frames[::2]
+    exp_mean = sum(sum(fr) for fr in sampled) / sum(
+        len(fr) for fr in sampled
+    )
+    assert out["sampled_mean"] == exp_mean

@@ -221,7 +221,8 @@ _LAZY_QUERIES = [
     "dedup_first", "ngram_overlap", "summarize", "merge_upsert",
     "pos_tags", "repetition_score", "sentence_dedup", "ann_topk",
     "label_centroids", "minhash_near_dups", "simhash_near_dups",
-    "embedding_near_dups", "ivf_ann", "multimodal_features", "pii_scrub",
+    "embedding_near_dups", "ivf_ann", "multimodal_features",
+    "audio_features", "video_features", "pii_scrub",
     "decontaminate", "corpus_stats", "filter_funnel",
     "lm_nll", "v1_cross_source_clusters", "duplicated_spans",
     "dup_span_stats", "pack_sequences",
