@@ -142,12 +142,19 @@ class MixSegmenter:
         dict/userdict.txt). Omitted freqs use suggest_freq against the
         PRE-overlay distribution; one rebuild at the end (a batch of k
         words costs O(V), not O(kV)). Returns the number of entries
-        applied."""
-        lines = (
-            open(src, encoding=encoding) if isinstance(src, str) else src
-        )
+        applied. An EXPLICIT freq of 0 is jieba's public idiom for
+        suppressing a word ('台中 0'): jieba keeps the entry but scores
+        routes with log(freq or 1), i.e. freq 0 competes at freq 1 and
+        loses to the per-char path — replicated here by storing 1.0
+        (this table needs finite log weights). Only an OMITTED freq
+        falls back to suggest_freq."""
+        if isinstance(src, str):
+            with open(src, encoding=encoding) as fh:
+                raw_lines = fh.readlines()
+        else:
+            raw_lines = src
         pending: list[tuple[str, float | None, str | None]] = []
-        for line in lines:
+        for line in raw_lines:
             parts = line.split()
             if not parts or parts[0].startswith("#"):
                 continue
@@ -162,7 +169,8 @@ class MixSegmenter:
         resolved = [
             (
                 word,
-                float(freq) if freq and freq > 0 else self.suggest_freq(word),
+                (max(float(freq), 1.0) if freq is not None
+                 else float(self.suggest_freq(word))),
                 tag,
             )
             for word, freq, tag in pending
@@ -405,10 +413,18 @@ def apply_config(cfg: tuple[str | None, ...]) -> None:
     if dict_path and hmm_path:
         os.environ[_ENV_DICT] = dict_path
         os.environ[_ENV_HMM] = hmm_path
+        # Optional keys must be CLEARED when the snapshot lacks them:
+        # reused python workers (spark.python.worker.reuse) otherwise
+        # keep a previous query's encoding/user-dict overlay and
+        # silently segment this query's text with it.
         if enc:
             os.environ[_ENV_ENC] = enc
+        else:
+            os.environ.pop(_ENV_ENC, None)
         if user:
             os.environ[_ENV_USER] = user
+        else:
+            os.environ.pop(_ENV_USER, None)
 
 
 def get_segmenter() -> MixSegmenter | None:
@@ -426,8 +442,18 @@ def get_segmenter() -> MixSegmenter | None:
         return _CACHED
     if not (os.path.exists(dict_path) and os.path.exists(hmm_path)):
         return None
-    _CACHED = MixSegmenter(dict_path, hmm_path, encoding=encoding)
-    if user and os.path.exists(user):
-        _CACHED.load_userdict(user)
+    seg = MixSegmenter(dict_path, hmm_path, encoding=encoding)
+    if user:
+        # Fail LOUD on a configured-but-absent user dict: silently
+        # caching the un-overlaid segmenter would make this worker
+        # tokenize differently from the driver and from workers where
+        # the file did ship (--files races) with no signal at all.
+        if not os.path.exists(user):
+            raise FileNotFoundError(
+                f"chnseg user dict configured but missing on this "
+                f"worker: {user}"
+            )
+        seg.load_userdict(user)
+    _CACHED = seg
     _CACHED_KEY = key
     return _CACHED

@@ -287,14 +287,27 @@ def sketch_counts(
     shs: list[int] | None = [] if simhash else None
     doc_counts = list(doc_counts)
     CHUNK = 1024
-    for lo_i in range(0, len(doc_counts), CHUNK):
-        chunk = doc_counts[lo_i : lo_i + CHUNK]
+    lo_i = 0
+    while lo_i < len(doc_counts):
+        # Accumulate a group of docs, stopping EARLY if the pending
+        # vocabulary passes max_vocab (always taking at least one doc):
+        # the cap must hold inside a group too, or a run of
+        # high-entropy docs (base64 junk, random ids) could commit
+        # millions of rows in one chunk and blow the documented memory
+        # bound. The matrices therefore never exceed
+        # max(max_vocab, distinct tokens of one doc) rows.
         new_toks: list[str] = []
-        for counts in chunk:
-            for tok in counts:
+        hi_i = lo_i
+        while hi_i < len(doc_counts) and hi_i - lo_i < CHUNK:
+            for tok in doc_counts[hi_i]:
                 if tok not in index:
                     index[tok] = len(index)
                     new_toks.append(tok)
+            hi_i += 1
+            if len(index) > max_vocab:
+                break
+        chunk = doc_counts[lo_i:hi_i]
+        lo_i = hi_i
         if new_toks:
             commit(new_toks)
         for counts in chunk:

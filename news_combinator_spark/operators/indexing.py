@@ -32,6 +32,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "term_doc_tf",
@@ -82,13 +83,26 @@ def term_postings(
     term, so the cut costs one extra lightweight agg, not a rescan.
     The posting string is deterministic (sorted ids, fixed
     separator), so the whole index is hash-checkable cross-engine.
+
+    STRING doc ids are percent-escaped ('%' -> '%25', ',' -> '%2C')
+    before they enter the comma-joined list, so an id containing the
+    separator (URLs are a natural doc id) round-trips through
+    ``merge_postings`` instead of being silently split into bogus
+    postings. Sorting happens on the ESCAPED form on both the build
+    and the merge path, so merge(index(A), B) == term_postings(A+B)
+    holds for arbitrary ids; numeric ids are unaffected.
     """
     per = term_doc_tf(df, text_col, doc_col)
+    doc_v = F.col("doc")
+    if not isinstance(df.schema[doc_col].dataType, T.NumericType):
+        doc_v = F.regexp_replace(
+            F.regexp_replace(doc_v.cast("string"), "%", "%25"), ",", "%2C"
+        )
     agg = per.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tf").alias("total_tf"),
         F.array_join(
-            F.sort_array(F.collect_list(F.col("doc"))), ","
+            F.sort_array(F.collect_list(doc_v)), ","
         ).alias("postings"),
     )
     out = agg.filter(F.col("n_docs") >= min_df)
@@ -292,8 +306,9 @@ def merge_postings(
     # cast('long') crashes under ANSI on non-numeric ids. Key off the
     # delta's doc column type (the index side must come from the same
     # corpus schema; a type mismatch between the two is a caller bug).
-    from pyspark.sql import types as T
-
+    # String postings hold percent-ESCAPED ids (see term_postings), so
+    # splitting on ',' is lossless and sorting the escaped strings
+    # reproduces the build-side order exactly.
     numeric_ids = isinstance(
         delta.schema[doc_col].dataType, T.NumericType
     )

@@ -344,7 +344,11 @@ def encode_avi_gray(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,          # microseconds per frame
         frame_bytes * fps,         # max bytes/sec
-        0, 0x10,                   # padding, flags (AVIF_HASINDEX off)
+        0, 0,                      # padding, flags: 0 — no idx1 chunk
+                                   # is written, so AVIF_HASINDEX
+                                   # (0x10) must NOT be set or a
+                                   # spec-conformant reader would seek
+                                   # a missing index
         n_frames, 0, 1, frame_bytes,
         width, height, 0, 0, 0, 0,
     )
