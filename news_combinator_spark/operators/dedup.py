@@ -88,6 +88,7 @@ def minhash_near_dups(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(a, b, jaccard_sim) pairs with token-set Jaccard >= threshold.
     LSH candidates then exact verify — never a full cross join.
@@ -129,9 +130,15 @@ def minhash_near_dups(
     # has no common-subexpression reuse across joins, so uncached the
     # Arrow tokenize+sketch pass would run three times. persist (not
     # localCheckpoint) keeps lineage for executor-loss recompute.
+    # Callers that loop (rolling admission, repeated clustering in one
+    # session) pass cache_registry and unpersist after materializing
+    # the result; otherwise the block lives until the Python object is
+    # GC'd (fine for one-shot queries, a leak in a loop).
     sigs = base.mapInPandas(
         _sig, schema="doc_id long, sig array<long>, toks array<string>"
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
     pairs = candidate_pairs(sigs.select("doc_id", "sig"), bands,
                             max_bucket=max_bucket)
     # EXACT size prune before the wide-array join: jaccard(A,B) <=
@@ -374,6 +381,7 @@ def near_dup_groups(
     pairs: DataFrame | None = None,
     max_iter: int = 20,
     max_bucket: int = 200,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup GROUPS: (doc_id, canonical,
     is_canonical) for every input row.
@@ -396,7 +404,8 @@ def near_dup_groups(
 
     if pairs is None:
         pairs = minhash_near_dups(
-            df, text_col, threshold, num_perm, bands, max_bucket=max_bucket
+            df, text_col, threshold, num_perm, bands,
+            max_bucket=max_bucket, cache_registry=cache_registry,
         )
     comps = connected_components(pairs.select("a", "b"), max_iter=max_iter)
     return (
@@ -512,6 +521,7 @@ def delta_admit(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Incremental near-dup admission: the INCOMING rows that have no
     near-duplicate (token Jaccard >= threshold) in the existing
@@ -537,9 +547,14 @@ def delta_admit(
     # persist both token frames: each feeds TWO subplans (its band
     # derivation and its side of the verify join) plus the narrow
     # size-prune frame below; uncached the Arrow tokenize pass would
-    # re-run once per subplan
+    # re-run once per subplan. The documented rolling loop calls this
+    # once per batch — without a release hook every round would pin
+    # two more cached frames until Python GC. Pass cache_registry and
+    # unpersist after materializing the round's result.
     inc_toks = _tokens_df(incoming, text_col).persist()
     cor_toks = _tokens_df(corpus, text_col).persist()
+    if cache_registry is not None:
+        cache_registry.extend((inc_toks, cor_toks))
     inc_bands = _banded_df(_sig_df(inc_toks, num_perm), bands)
     cor_bands = _banded_df(_sig_df(cor_toks, num_perm), bands)
     w_bucket = Window.partitionBy("band_id", "band_hash")

@@ -216,3 +216,39 @@ def test_merge_frontiers_min_priority_and_source_count(spark):
     assert out["u3"].priority == 2 and out["u3"].n_sources == 1
     with pytest.raises(ValueError):
         merge_frontiers()
+
+
+def test_delta_admit_cache_registry_releases_storage(spark, docs500):
+    """The rolling-loop release hook: persisted intermediates land in
+    cache_registry and unpersist() drops every cached block, so a
+    per-batch admission loop doesn't pin storage for the session."""
+    incoming = docs500.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs500.filter(F.col("doc_id") % 7 != 0)
+    reg: list = []
+    out = dd.delta_admit(
+        corpus, incoming, threshold=0.95, max_bucket=10_000,
+        cache_registry=reg,
+    )
+    n = out.count()  # materialize -> caches fill
+    assert n > 0 and len(reg) == 2
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk
+               for f in reg)
+    before = {f._jdf.queryExecution().analyzed().semanticHash()
+              for f in reg}
+    for f in reg:
+        f.unpersist(blocking=True)
+    # the hook's contract: every registered frame is fully released
+    assert all(not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+               for f in reg)
+    assert len(before) == 2  # two distinct cached frames were handed out
+
+
+def test_near_dup_groups_cache_registry_passthrough(spark, docs500):
+    reg: list = []
+    groups = dd.near_dup_groups(
+        docs500.filter(F.col("doc_id") < 60),
+        threshold=0.9, max_bucket=10_000, cache_registry=reg,
+    )
+    assert groups.count() == 60 and len(reg) == 1
+    for f in reg:
+        f.unpersist(blocking=True)
