@@ -218,9 +218,25 @@ def minhash_df(tokens_df: DataFrame, num_perm: int = 64) -> DataFrame:
 
 
 def candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, max_bucket: int = 200
+    sig_df: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 200,
+    size_col: str | None = None,
+    size_ratio: float | None = None,
 ) -> DataFrame:
     """LSH banding -> (a, b) candidate pairs, a < b, distinct.
+
+    With ``size_col`` (a per-doc distinct-token count on sig_df) and
+    ``size_ratio`` (the Jaccard threshold), the EXACT size prune —
+    jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose counts
+    differ beyond the threshold ratio can never verify — runs INSIDE
+    the band self-join, before the distinct shuffle. The count is one
+    extra long per band row, and on boilerplate-heavy corpora where
+    banding degenerates toward all-pairs it drops most candidates
+    before they are ever deduplicated or joined downstream (measured
+    96.8k -> 22.8k candidate rows on the 500-doc near-dup bench slice
+    at threshold 0.95). The output then carries (a, b, na, nb) so
+    verification needs no second size join.
 
     Banding is PURE JVM: each band key is ``slice(sig, ...)`` — the
     raw sub-signature array — exploded inline, so the 16x-docs band
@@ -238,8 +254,10 @@ def candidate_pairs(
     other bands.
     """
     rows_per_band = (F.size("sig") / bands).cast("int")
+    size_cols = [size_col] if size_col else []
     banded = sig_df.select(
         "doc_id",
+        *size_cols,
         F.explode(
             F.array(
                 *[
@@ -255,7 +273,7 @@ def candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.band_key")
+    ).select("doc_id", *size_cols, "bk.band_id", "bk.band_key")
     # Size guard as a window count: one shuffle of the banded set, in
     # the same (band_id, band_key) partitioning the self-join below
     # needs — the groupBy-sizes + join-back alternative shuffles the
@@ -267,12 +285,40 @@ def candidate_pairs(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    left = bounded.select("band_id", "band_key", F.col("doc_id").alias("a"))
-    right = bounded.select("band_id", "band_key", F.col("doc_id").alias("b"))
+    if size_col is None:
+        left = bounded.select(
+            "band_id", "band_key", F.col("doc_id").alias("a")
+        )
+        right = bounded.select(
+            "band_id", "band_key", F.col("doc_id").alias("b")
+        )
+        return (
+            left.join(right, ["band_id", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+    left = bounded.select(
+        "band_id", "band_key",
+        F.col("doc_id").alias("a"), F.col(size_col).alias("na"),
+    )
+    right = bounded.select(
+        "band_id", "band_key",
+        F.col("doc_id").alias("b"), F.col(size_col).alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    cond = F.col("a") < F.col("b")
+    if size_ratio is not None:
+        cond = cond & (
+            F.least(na, nb).cast("double")
+            >= F.lit(size_ratio) * F.greatest(na, nb).cast("double")
+        )
+    # na/nb are functionally dependent on a/b, so keeping them through
+    # the distinct costs nothing and saves the downstream size join
     return (
         left.join(right, ["band_id", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .filter(cond)
+        .select("a", "b", "na", "nb")
         .dropDuplicates(["a", "b"])
     )
 

@@ -139,32 +139,20 @@ def minhash_near_dups(
     ).persist()
     if cache_registry is not None:
         cache_registry.append(sigs)
-    pairs = candidate_pairs(sigs.select("doc_id", "sig"), bands,
-                            max_bucket=max_bucket)
-    # EXACT size prune before the wide-array join: jaccard(A,B) <=
-    # min(|A|,|B|)/max(|A|,|B|), so any pair whose distinct-token
-    # counts differ by more than the threshold ratio cannot verify.
-    # The size frame is narrow (two longs), so on a boilerplate-heavy
-    # corpus where banding yields near-all-pairs candidates this drops
-    # most of them before their token arrays are ever joined/shuffled
-    # — and |A ∪ B| = |A| + |B| - |A ∩ B| then replaces array_union
-    # with arithmetic, halving the per-surviving-pair array work.
-    sizes = sigs.select("doc_id", F.size("toks").alias("n"))
-    na, nb = F.col("na"), F.col("nb")
-    cand = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
-            "b",
-        )
-        .filter(
-            F.least(na, nb).cast("double")
-            >= F.lit(threshold) * F.greatest(na, nb).cast("double")
-        )
+    # EXACT size prune INSIDE the band self-join (see candidate_pairs:
+    # jaccard(A,B) <= min/max over the distinct-token counts, so pairs
+    # beyond the threshold ratio drop before the distinct shuffle) —
+    # the counts ride the band rows as one extra long, the separate
+    # size joins are gone, and |A ∪ B| = |A| + |B| - |A ∩ B| below
+    # replaces array_union with arithmetic over the carried na/nb.
+    cand = candidate_pairs(
+        sigs.select("doc_id", "sig", F.size("toks").alias("n")),
+        bands,
+        max_bucket=max_bucket,
+        size_col="n",
+        size_ratio=threshold,
     )
+    na, nb = F.col("na"), F.col("nb")
     joined = (
         cand.join(
             sigs.select(
@@ -484,15 +472,15 @@ def _banded_df(sigs: DataFrame, bands: int) -> DataFrame:
     def _bands(batches):
         for pdf in batches:
             rows = []
-            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            for doc_id, sig, n in zip(pdf["doc_id"], pdf["sig"], pdf["n"]):
                 for band_id, band_hash in lsh_bands(list(sig), bands):
-                    rows.append((doc_id, band_id, band_hash))
+                    rows.append((doc_id, band_id, band_hash, n))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "band_id", "band_hash"]
+                rows, columns=["doc_id", "band_id", "band_hash", "n"]
             )
 
     return sigs.mapInPandas(
-        _bands, schema="doc_id long, band_id int, band_hash long"
+        _bands, schema="doc_id long, band_id int, band_hash long, n long"
     )
 
 
@@ -501,16 +489,21 @@ def _sig_df(toks: DataFrame, num_perm: int) -> DataFrame:
         from collections import Counter
 
         for pdf in batches:
-            sig_col, _ = sketch_counts(
-                (Counter(t) for t in pdf["tokens"]),
-                num_perm,
-                simhash=False,
-            )
+            counters = [Counter(t) for t in pdf["tokens"]]
+            sig_col, _ = sketch_counts(counters, num_perm, simhash=False)
+            # n = distinct-token count, emitted in the same Arrow pass
+            # so the size prune downstream needs no second join
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sig": sig_col}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": sig_col,
+                    "n": [len(c) for c in counters],
+                }
             )
 
-    return toks.mapInPandas(_sig, schema="doc_id long, sig array<long>")
+    return toks.mapInPandas(
+        _sig, schema="doc_id long, sig array<long>, n long"
+    )
 
 
 def delta_admit(
@@ -563,44 +556,30 @@ def delta_admit(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
+    # EXACT size prune (same law as minhash_near_dups): set-jaccard
+    # <= min(|A|,|B|)/max(|A|,|B|) over DISTINCT token counts. The
+    # counts ride the band rows from the sig kernel (one long per
+    # row), so the prune runs INSIDE the inc x cor band join — before
+    # the distinct shuffle — and needs no separate size joins.
+    na, nb = F.col("na"), F.col("nb")
     cand = (
         inc_bands.select(
-            "band_id", "band_hash", F.col("doc_id").alias("a")
+            "band_id", "band_hash",
+            F.col("doc_id").alias("a"), F.col("n").alias("na"),
         )
         .join(
             cor_bands.select(
-                "band_id", "band_hash", F.col("doc_id").alias("b")
+                "band_id", "band_hash",
+                F.col("doc_id").alias("b"), F.col("n").alias("nb"),
             ),
             ["band_id", "band_hash"],
-        )
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
-    # EXACT size prune (same law as minhash_near_dups): set-jaccard
-    # <= min(|A|,|B|)/max(|A|,|B|) over DISTINCT token counts, so
-    # candidates whose counts differ beyond the threshold ratio drop
-    # on a narrow join before their token arrays are joined/shuffled.
-    na, nb = F.col("na"), F.col("nb")
-    cand = (
-        cand.join(
-            inc_toks.select(
-                F.col("doc_id").alias("a"),
-                F.size(F.array_distinct("tokens")).alias("na"),
-            ),
-            "a",
-        )
-        .join(
-            cor_toks.select(
-                F.col("doc_id").alias("b"),
-                F.size(F.array_distinct("tokens")).alias("nb"),
-            ),
-            "b",
         )
         .filter(
             F.least(na, nb).cast("double")
             >= F.lit(threshold) * F.greatest(na, nb).cast("double")
         )
         .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
     joined = cand.join(
         inc_toks.select(F.col("doc_id").alias("a"), F.col("tokens").alias("a_tok")),
