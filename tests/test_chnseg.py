@@ -288,3 +288,24 @@ def test_userdict_overlay_closes_keyword_golden_10_of_10():
     )
     assert set(ours) == set(golden)
     assert len(set(ours) & set(golden)) == 10
+
+
+def test_userdict_explicit_freq_zero_is_suppression(seg):
+    """jieba's public 'word 0' userdict idiom (review fix): an EXPLICIT
+    freq of 0 must NOT fall back to suggest_freq (which would make the
+    word win) — it stores the minimal finite weight 1.0, identical to
+    add_word(word, 1), so the word competes at the floor and loses
+    wherever the per-char path is cheaper."""
+    a = chnseg.MixSegmenter(DICT, HMM)
+    n = a.load_userdict(["八一双鹿 0"])
+    assert n == 1
+    assert a._raw["八一双鹿"] == 1.0
+    b = chnseg.MixSegmenter(DICT, HMM)
+    b.add_word("八一双鹿", 1)
+    for text in ("什么是八一双鹿", "八一双鹿战斗不止"):
+        assert a.cut(text) == b.cut(text)
+    # contrast: OMITTED freq -> suggest_freq -> the word holds whole
+    c = chnseg.MixSegmenter(DICT, HMM)
+    c.load_userdict(["八一双鹿"])
+    assert "八一双鹿" in c.cut("什么是八一双鹿")
+    assert c._raw["八一双鹿"] >= a._raw["八一双鹿"]

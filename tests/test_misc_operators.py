@@ -473,3 +473,27 @@ def test_avi_codec_roundtrip_and_frame_sampling(spark):
         len(fr) for fr in sampled
     )
     assert out["sampled_mean"] == exp_mean
+
+
+def test_avi_header_flags_match_container_shape():
+    """Review fix: the avih dwFlags word must be 0 — the encoder writes
+    no idx1 chunk, so AVIF_HASINDEX (0x10) would promise an index that
+    is not there and break strict players/parsers."""
+    import struct
+
+    from news_combinator_spark.operators.multimodal import (
+        encode_avi_gray,
+    )
+
+    avi = encode_avi_gray(4, 4, 2, 10, 1)
+    assert b"idx1" not in avi
+    pos = avi.find(b"avih")
+    assert pos > 0
+    size = struct.unpack_from("<I", avi, pos + 4)[0]
+    avih = avi[pos + 8: pos + 8 + size]
+    # avih layout: dwMicroSecPerFrame, dwMaxBytesPerSec, dwPadding,
+    # dwFlags, dwTotalFrames, ...
+    dw_flags = struct.unpack_from("<I", avih, 12)[0]
+    assert dw_flags == 0
+    total_frames = struct.unpack_from("<I", avih, 16)[0]
+    assert total_frames == 2

@@ -423,3 +423,32 @@ def test_cdx_and_wat_json_escape(spark):
     wat = json.loads(body)
     assert wat["WARC-Target-URI"] == 'http://h1.test/a?q="x"\\y'
     assert wat["Links"][1] == 'http://h1.test/"n2"'
+
+
+def test_merge_postings_ids_containing_separator(spark):
+    # review fix: ids containing ',' or '%' are percent-escaped in the
+    # posting list, so the comma join is lossless and the rebuild
+    # invariant holds for URL-shaped doc ids
+    docs = spark.createDataFrame(
+        [("http://h/a,b", "zebra word"), ("50%,off", "zebra other"),
+         ("plain", "zebra plain")],
+        "doc_id string, text string",
+    )
+    old = ix.term_postings(
+        docs.filter("doc_id = 'plain'"), doc_col="doc_id", min_df=1
+    )
+    merged = {
+        r.term: (r.n_docs, r.total_tf, r.postings)
+        for r in ix.merge_postings(
+            old, docs.filter("doc_id != 'plain'")
+        ).collect()
+    }
+    rebuilt = {
+        r.term: (r.n_docs, r.total_tf, r.postings)
+        for r in ix.term_postings(docs, min_df=1).collect()
+    }
+    assert merged == rebuilt
+    # three postings survive (a naive split on ',' would make five)
+    assert merged["zebra"][0] == 3
+    assert merged["zebra"][2].count(",") == 2
+    assert "%2C" in merged["zebra"][2]

@@ -171,3 +171,22 @@ def test_sketch_batch_bit_identical_to_per_doc_kernels():
     ref_sigs, ref_shs = sketch_batch(many)
     sigs3, shs3 = sketch_batch(many, max_vocab=8)
     assert sigs3 == ref_sigs and shs3 == ref_shs
+
+
+def test_sketch_vocab_cap_holds_inside_a_chunk():
+    """The max_vocab bound must hold WITHIN a 1024-doc chunk, not only
+    between chunks: a short run of high-entropy docs (each with
+    hundreds of tokens never seen before) has to trigger the early
+    chunk cut + flush without changing any sketch value (review fix,
+    textfns.sketch_counts chunk accumulation loop)."""
+    from news_combinator_spark.functions.textfns import sketch_batch
+
+    # 60 docs x ~200 unique tokens = ~12k distinct tokens, all inside
+    # ONE 1024-doc chunk; cap 64 forces dozens of intra-chunk flushes
+    texts = [
+        " ".join(f"tok{d}_{i}" for i in range(200)) + " shared common"
+        for d in range(60)
+    ]
+    ref_sigs, ref_shs = sketch_batch(texts)
+    cap_sigs, cap_shs = sketch_batch(texts, max_vocab=64)
+    assert cap_sigs == ref_sigs and cap_shs == ref_shs
