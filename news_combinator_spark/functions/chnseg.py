@@ -163,6 +163,12 @@ class MixSegmenter:
                 try:
                     freq = float(parts[1])
                     tag = parts[2] if len(parts) > 2 else None
+                    if not math.isfinite(freq):
+                        # 'word nan'/'word inf': a non-finite weight
+                        # would poison every DP route comparison
+                        # (NaN compares False both ways) — treat it
+                        # as omitted and fall back to suggest_freq
+                        freq = None
                 except ValueError:
                     tag = parts[1]
             pending.append((word, freq, tag))
@@ -410,21 +416,32 @@ def snapshot_config() -> tuple[str | None, ...]:
 def apply_config(cfg: tuple[str | None, ...]) -> None:
     dict_path, hmm_path, enc = cfg[0], cfg[1], cfg[2]
     user = cfg[3] if len(cfg) > 3 else None  # pre-overlay snapshots
-    if dict_path and hmm_path:
-        os.environ[_ENV_DICT] = dict_path
-        os.environ[_ENV_HMM] = hmm_path
-        # Optional keys must be CLEARED when the snapshot lacks them:
-        # reused python workers (spark.python.worker.reuse) otherwise
-        # keep a previous query's encoding/user-dict overlay and
-        # silently segment this query's text with it.
-        if enc:
-            os.environ[_ENV_ENC] = enc
-        else:
-            os.environ.pop(_ENV_ENC, None)
-        if user:
-            os.environ[_ENV_USER] = user
-        else:
-            os.environ.pop(_ENV_USER, None)
+    if not (dict_path and hmm_path):
+        # An UNCONFIGURED snapshot must also clear: a reused python
+        # worker (spark.python.worker.reuse) otherwise keeps a
+        # previous query's dict/hmm env, get_segmenter() returns that
+        # stale segmenter, and this query's text is silently
+        # segmented with another query's dictionaries instead of
+        # taking the unconfigured fallback path.
+        os.environ.pop(_ENV_DICT, None)
+        os.environ.pop(_ENV_HMM, None)
+        os.environ.pop(_ENV_ENC, None)
+        os.environ.pop(_ENV_USER, None)
+        return
+    os.environ[_ENV_DICT] = dict_path
+    os.environ[_ENV_HMM] = hmm_path
+    # Optional keys must be CLEARED when the snapshot lacks them:
+    # reused python workers otherwise keep a previous query's
+    # encoding/user-dict overlay and silently segment this query's
+    # text with it.
+    if enc:
+        os.environ[_ENV_ENC] = enc
+    else:
+        os.environ.pop(_ENV_ENC, None)
+    if user:
+        os.environ[_ENV_USER] = user
+    else:
+        os.environ.pop(_ENV_USER, None)
 
 
 def get_segmenter() -> MixSegmenter | None:

@@ -95,6 +95,12 @@ def term_postings(
     per = term_doc_tf(df, text_col, doc_col)
     doc_v = F.col("doc")
     if not isinstance(df.schema[doc_col].dataType, T.NumericType):
+        # NOTE: this escape convention is part of the stored-index
+        # format. merge_postings assumes BOTH sides use it; an index
+        # persisted by a pre-escaping build must be rebuilt (or its
+        # ids re-escaped) before merging, or the same raw id can
+        # appear under two spellings. split_posting_ids() is the
+        # read-side inverse.
         doc_v = F.regexp_replace(
             F.regexp_replace(doc_v.cast("string"), "%", "%25"), ",", "%2C"
         )
@@ -109,6 +115,20 @@ def term_postings(
     if max_df is not None:
         out = out.filter(F.col("n_docs") <= max_df)
     return out
+
+
+def split_posting_ids(postings_col) -> "F.Column":
+    """Read-side inverse of the posting-list escape convention: split
+    the comma-joined list and percent-UNescape each id ('%2C' -> ',',
+    then '%25' -> '%' — the reverse application order of the build
+    side). Numeric-id postings contain neither sequence, so this is a
+    plain split for them."""
+    return F.transform(
+        F.split(postings_col, ","),
+        lambda x: F.regexp_replace(
+            F.regexp_replace(x, "%2C", ","), "%25", "%"
+        ),
+    )
 
 
 def conjunctive_search(

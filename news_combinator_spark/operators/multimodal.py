@@ -47,6 +47,18 @@ MEDIA_SCHEMA = (
 _MAGIC = b"NCIM"
 
 
+def _out_schema(df: DataFrame, payload_col: str, extra: str) -> str:
+    """mapInPandas DDL schema: the input columns minus the payload,
+    plus the kernel's feature columns. Handles the payload-only input
+    (keep == '') without emitting a leading-comma parse error."""
+    keep = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return f"{keep}, {extra}" if keep else extra
+
+
 def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     """Deterministic fixture payload: 4-byte magic + w/h/seed ints +
     (w*h) pseudo-pixel bytes. Stand-in for a real JPEG."""
@@ -175,13 +187,11 @@ def with_png_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             out["mean_pixel"] = means
             yield out
 
-    keep = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != payload_col
-    )
     return df.mapInPandas(
-        _feat, schema=f"{keep}, width int, height int, mean_pixel double"
+        _feat,
+        schema=_out_schema(
+            df, payload_col, "width int, height int, mean_pixel double"
+        ),
     )
 
 
@@ -205,13 +215,11 @@ def with_image_features(df: DataFrame, payload_col: str = "payload") -> DataFram
             out["mean_pixel"] = means
             yield out
 
-    keep = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != payload_col
-    )
     return df.mapInPandas(
-        _feat, schema=f"{keep}, width int, height int, mean_pixel double"
+        _feat,
+        schema=_out_schema(
+            df, payload_col, "width int, height int, mean_pixel double"
+        ),
     )
 
 
@@ -300,16 +308,13 @@ def with_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             out["mean_abs_amp"] = means
             yield out
 
-    keep = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != payload_col
-    )
     return df.mapInPandas(
         _feat,
-        schema=(
-            f"{keep}, sample_rate int, n_samples int, duration_ms int, "
-            "peak_amp int, mean_abs_amp double"
+        schema=_out_schema(
+            df,
+            payload_col,
+            "sample_rate int, n_samples int, duration_ms int, "
+            "peak_amp int, mean_abs_amp double",
         ),
     )
 
@@ -352,10 +357,14 @@ def encode_avi_gray(
         n_frames, 0, 1, frame_bytes,
         width, height, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER is exactly 56 bytes: fccType+fccHandler, then
+    # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+    # dwStart, dwLength, dwSuggestedBufferSize, dwQuality,
+    # dwSampleSize (40 bytes), then the rcFrame RECT of four WORDs.
     strh = (
         b"vids" + b"DIB " + struct.pack(
-            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
-            frame_bytes, 0, 0, 0,
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+            frame_bytes, 0, 0,
         ) + struct.pack("<HHHH", 0, 0, width, height)
     )
     # BITMAPINFOHEADER, 8-bit + a 256-entry grayscale palette
@@ -462,16 +471,13 @@ def with_video_features(
             out["sampled_mean"] = means
             yield out
 
-    keep = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name != payload_col
-    )
     return df.mapInPandas(
         _feat,
-        schema=(
-            f"{keep}, width int, height int, n_frames int, "
-            "duration_ms int, sampled_mean double"
+        schema=_out_schema(
+            df,
+            payload_col,
+            "width int, height int, n_frames int, "
+            "duration_ms int, sampled_mean double",
         ),
     )
 

@@ -7,6 +7,7 @@ public jieba README examples — external goldens independent of this
 implementation. Skips cleanly when no reference checkout is present
 (the repo ships no dictionary data)."""
 
+import math
 import os
 
 import pytest
@@ -309,3 +310,33 @@ def test_userdict_explicit_freq_zero_is_suppression(seg):
     c.load_userdict(["八一双鹿"])
     assert "八一双鹿" in c.cut("什么是八一双鹿")
     assert c._raw["八一双鹿"] >= a._raw["八一双鹿"]
+
+
+def test_apply_config_clears_stale_state_on_unconfigured_snapshot():
+    """Review fix: a reused python worker whose env still carries a
+    previous task's dict/hmm must fall back to the unconfigured path
+    when the incoming snapshot is empty — not silently segment with
+    the stale dictionaries."""
+    chnseg.configure_dictionary(DICT, HMM)
+    assert chnseg.get_segmenter() is not None
+    try:
+        # an UNCONFIGURED plan-time snapshot arrives at the worker
+        chnseg.apply_config((None, None, None, None))
+        assert chnseg.get_segmenter() is None
+    finally:
+        chnseg.clear_dictionary()
+
+
+def test_userdict_nonfinite_freq_falls_back_to_suggest(seg):
+    """Review fix: 'word nan' must not store NaN as a route weight
+    (NaN compares False both ways and corrupts every DP comparison);
+    non-finite freqs behave like an omitted freq."""
+    s = chnseg.MixSegmenter(DICT, HMM)
+    n = s.load_userdict(["八一双鹿 nan", "云计算 inf x"])
+    assert n == 2
+    assert math.isfinite(s._raw["八一双鹿"])
+    assert math.isfinite(s._raw["云计算"])
+    assert s._raw["八一双鹿"] >= 1
+    # suggest_freq fallback is minimal-winning: the word holds whole
+    assert "八一双鹿" in s.cut("什么是八一双鹿")
+    assert s.tags["云计算"] == "x"

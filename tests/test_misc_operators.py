@@ -497,3 +497,52 @@ def test_avi_header_flags_match_container_shape():
     assert dw_flags == 0
     total_frames = struct.unpack_from("<I", avih, 16)[0]
     assert total_frames == 2
+
+
+def test_media_kernels_accept_payload_only_input(spark):
+    """Review fix: when the payload is the ONLY column, the mapInPandas
+    output schema must not start with a leading comma."""
+    from news_combinator_spark.operators.multimodal import (
+        encode_avi_gray,
+        encode_png_gray,
+        encode_wav_pcm16,
+        with_png_features,
+        with_video_features,
+        with_wav_features,
+    )
+
+    png = spark.createDataFrame(
+        [(encode_png_gray(4, 3, 7),)], "payload binary"
+    )
+    row = with_png_features(png).collect()[0]
+    assert (row["width"], row["height"]) == (4, 3)
+
+    wav = spark.createDataFrame(
+        [(encode_wav_pcm16(50, 8000, 3),)], "payload binary"
+    )
+    row = with_wav_features(wav).collect()[0]
+    assert (row["sample_rate"], row["n_samples"]) == (8000, 50)
+
+    avi = spark.createDataFrame(
+        [(encode_avi_gray(4, 4, 3, 10, 1),)], "payload binary"
+    )
+    row = with_video_features(avi).collect()[0]
+    assert (row["width"], row["n_frames"]) == (4, 3)
+
+
+def test_avi_strh_is_56_bytes():
+    """AVISTREAMHEADER is a fixed 56-byte struct; an extra DWORD would
+    shift rcFrame for conformant readers (review fix)."""
+    import struct
+
+    from news_combinator_spark.operators.multimodal import (
+        encode_avi_gray,
+    )
+
+    avi = encode_avi_gray(6, 4, 2, 10, 5)
+    pos = avi.find(b"strh")
+    size = struct.unpack_from("<I", avi, pos + 4)[0]
+    assert size == 56
+    body = avi[pos + 8: pos + 8 + size]
+    # rcFrame occupies the final 8 bytes: (left, top, right, bottom)
+    assert struct.unpack_from("<HHHH", body, 48) == (0, 0, 6, 4)

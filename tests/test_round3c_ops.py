@@ -452,3 +452,22 @@ def test_merge_postings_ids_containing_separator(spark):
     assert merged["zebra"][0] == 3
     assert merged["zebra"][2].count(",") == 2
     assert "%2C" in merged["zebra"][2]
+
+
+def test_split_posting_ids_inverts_escaping(spark):
+    # read-side inverse: raw ids come back exactly, including ids
+    # containing ',' and '%' (and the literal sequence '%25')
+    raw_ids = ["http://h/a,b", "50%,off", "x%25y", "plain"]
+    docs = spark.createDataFrame(
+        [(i, "zebra word") for i in raw_ids],
+        "doc_id string, text string",
+    )
+    import pyspark.sql.functions as F
+
+    out = (
+        ix.term_postings(docs, min_df=1)
+        .filter("term = 'zebra'")
+        .select(ix.split_posting_ids(F.col("postings")).alias("ids"))
+        .collect()[0]["ids"]
+    )
+    assert sorted(out) == sorted(raw_ids)
