@@ -285,40 +285,28 @@ def candidate_pairs(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    if size_col is None:
-        left = bounded.select(
-            "band_id", "band_key", F.col("doc_id").alias("a")
-        )
-        right = bounded.select(
-            "band_id", "band_key", F.col("doc_id").alias("b")
-        )
-        return (
-            left.join(right, ["band_id", "band_key"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .dropDuplicates(["a", "b"])
-        )
+    l_extra = [F.col(size_col).alias("na")] if size_col else []
+    r_extra = [F.col(size_col).alias("nb")] if size_col else []
     left = bounded.select(
-        "band_id", "band_key",
-        F.col("doc_id").alias("a"), F.col(size_col).alias("na"),
+        "band_id", "band_key", F.col("doc_id").alias("a"), *l_extra
     )
     right = bounded.select(
-        "band_id", "band_key",
-        F.col("doc_id").alias("b"), F.col(size_col).alias("nb"),
+        "band_id", "band_key", F.col("doc_id").alias("b"), *r_extra
     )
-    na, nb = F.col("na"), F.col("nb")
     cond = F.col("a") < F.col("b")
-    if size_ratio is not None:
+    if size_col and size_ratio is not None:
+        na, nb = F.col("na"), F.col("nb")
         cond = cond & (
             F.least(na, nb).cast("double")
             >= F.lit(size_ratio) * F.greatest(na, nb).cast("double")
         )
     # na/nb are functionally dependent on a/b, so keeping them through
     # the distinct costs nothing and saves the downstream size join
+    out_cols = ["a", "b"] + (["na", "nb"] if size_col else [])
     return (
         left.join(right, ["band_id", "band_key"])
         .filter(cond)
-        .select("a", "b", "na", "nb")
+        .select(*out_cols)
         .dropDuplicates(["a", "b"])
     )
 

@@ -47,6 +47,20 @@ MEDIA_SCHEMA = (
 _MAGIC = b"NCIM"
 
 
+def _riff_chunks(buf: bytes):
+    """Shared RIFF chunk walk: yield (tag, body) with the spec's
+    word-aligned advance (odd-length bodies are padded by one byte).
+    Both the WAV and the AVI decoder iterate chunks this way; keeping
+    the tag/length/slice/alignment arithmetic in one place means a
+    truncation-handling fix cannot drift between codecs."""
+    pos = 0
+    while pos + 8 <= len(buf):
+        tag = bytes(buf[pos : pos + 4])
+        (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        yield tag, bytes(buf[pos + 8 : pos + 8 + ln])
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+
+
 def _out_schema(df: DataFrame, payload_col: str, extra: str) -> str:
     """mapInPandas DDL schema: the input columns minus the payload,
     plus the kernel's feature columns. Handles the payload-only input
@@ -257,11 +271,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, bytes]:
         raise NotImplementedError("not a RIFF payload")
     if bytes(payload[8:12]) != b"WAVE":
         raise NotImplementedError("RIFF form is not WAVE")
-    pos, rate, data = 12, None, None
-    while pos + 8 <= len(payload):
-        tag = bytes(payload[pos : pos + 4])
-        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = bytes(payload[pos + 8 : pos + 8 + ln])
+    rate, data = None, None
+    for tag, body in _riff_chunks(bytes(payload[12:])):
         if tag == b"fmt ":
             audio_fmt, channels, rate, _br, _ba, depth = struct.unpack(
                 "<HHIIHH", body[:16]
@@ -272,7 +283,6 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, bytes]:
                 )
         elif tag == b"data":
             data = body
-        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     return rate, data
@@ -401,11 +411,7 @@ def decode_avi_gray(
 
     def walk(buf: bytes) -> None:
         nonlocal width, height, n_frames, uspf
-        pos = 0
-        while pos + 8 <= len(buf):
-            tag = bytes(buf[pos : pos + 4])
-            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            body = bytes(buf[pos + 8 : pos + 8 + ln])
+        for tag, body in _riff_chunks(buf):
             if tag == b"LIST":
                 walk(body[4:])  # skip the 4-byte list kind
             elif tag == b"avih":
@@ -425,7 +431,6 @@ def decode_avi_gray(
                 )
             elif tag == b"00db":
                 frames.append(body)
-            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
 
     walk(bytes(payload[12:]))
     if width is None or n_frames is None:
