@@ -3,13 +3,13 @@
 entry(spark):   flagship crawl-frontier query on sf0.001.
 queries():      every implemented operator from SURVEY.md §2 plus the
                 training-data ops (see news_combinator_spark/plans/queries.py).
-oracle_sql():   matching DuckDB SQL; the only intentionally absent
-                entries are the greedy LSH/cross-source clusterings
-                (sequential consume loops, golden-pinned in pytest)
-                and the stub-codec multimodal query — everything else,
-                including the approximate dedup/ANN operators, is
-                hash-checked (lossless banding / pigeonhole blocking /
-                full probing make them exactly SQL-reproducible).
+oracle_sql():   matching DuckDB SQL for EVERY queries() entry — the
+                approximate dedup/ANN operators are hash-checked via
+                lossless banding / pigeonhole blocking / full probing,
+                and the two sequential-consume greedy clusterings are
+                replayed in DuckDB as recursive-CTE state machines
+                (consumed set carried as a list column), so nothing
+                falls back to a rows-only check.
 """
 
 from __future__ import annotations

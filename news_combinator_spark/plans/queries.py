@@ -6,10 +6,12 @@ DataFrame program, once as ANSI SQL DuckDB runs on the same parquet
 views. Column names and dtypes are aligned pairwise; float outputs are
 rounded so cross-engine summation-order ulps can't flip the hash.
 
-Engine-only operators (LSH clustering, bloom crawl, IVF ANN,
-multimodal) have no oracle entry -> the driver records rows-only
-checks; their exact semantics are pinned by pytest parity oracles
-instead (tests/, news_combinator_spark/oracle/).
+Since round 4 every registry entry has a DuckDB hash oracle — the two
+former rows-only entries (the sequential-consume greedy clusterings)
+are replayed in DuckDB as recursive-CTE state machines over
+integer-exact similarity graphs. Reference-corpus parity additionally
+stays pinned by pytest parity oracles (tests/,
+news_combinator_spark/oracle/).
 """
 
 from __future__ import annotations
@@ -23,14 +25,12 @@ from ..datagen import (
     budgets_df,
     pages_from_documents,
     pages_select_sql,
-    reference_grammar_pages,
     robots_df,
     seeds_df,
 )
 from ..functions.extract import links_udf, markers_udf, passage_udf, title_udf
 from ..operators import dedup as dd
 from ..operators import similarity as sim
-from ..operators.clustering import cluster_documents
 from ..functions.posfilter import _FUNCTION_WORDS, _PRONOUNS, doc_pos_tags
 from ..operators import linkgraph as lg
 from ..operators import sampling
@@ -1476,43 +1476,173 @@ SQL_LABEL_CENTROIDS = """
 
 
 # ===========================================================================
-# Engine-only (rows-only checks; exact semantics pinned in pytest)
+# News clustering (driver hash oracles since round 4: the sequential
+# greedy consume loops are replayed in DuckDB as recursive-CTE state
+# machines; reference-corpus parity stays pinned by
+# tests/test_golden_clusters.py on the grammar corpus)
 # ===========================================================================
 
-def _dup_corpus(spark):
-    pages = reference_grammar_pages(n_pages=200, seed=11, dup_rate=0.3)
-    rows = [
-        (i, p["text"], p["host"], p["warc_ts"]) for i, p in enumerate(pages)
-    ]
-    return spark.createDataFrame(
-        rows, "doc_id long, text string, source string, warc_ts long"
-    )
-
-
 def q_news_clusters_lsh(spark, sf_dir):
-    """J1-J3: MinHash-LSH + CC + greedy star clusters (news_category)."""
-    return cluster_documents(spark, _dup_corpus(spark)).select(
-        "cluster_id", "abstract_ids", "source_names"
+    """J1-J3 (categorize.cpp:92-165): MinHash-LSH banding -> exact
+    directional seed-vocab cosine (>= 0.85) -> connected components ->
+    the reference's sequential greedy star relabel, over the documents
+    slice (doc_id < 500 = the full sf0.01 corpus; SF-invariant cost).
+
+    Driver HASH oracle (rows-only until round 4): the DuckDB side
+    brute-forces the pair graph and replays the sequential greedy as a
+    recursive CTE — one iteration per candidate seed, the consumed set
+    carried as a list column, no subquery in the recursive term (DuckDB
+    1.0 silently mis-correlates grouped subqueries against the
+    recursive table; everything is a seq-join plus list lambdas).
+    Banding at 64 bands x 1 row is LOSSLESS here — verified 0 of
+    18,934 brute-force edges missed at sf0.01, and the pipeline is
+    deterministic (blake2b-seeded MinHash), so the check is exact, not
+    probabilistic. Output is integer-only: no cross-engine float
+    formatting reaches the hash; the threshold compare itself is
+    cross-engine stable (exact int64 dot/norms, correctly-rounded IEEE
+    sqrt/divide — see verify_pairs' docstring).
+    """
+    from ..operators.clustering import (
+        candidate_pairs,
+        connected_components,
+        doc_tags,
+        featurize_docs,
+        greedy_relabel,
+        verify_pairs,
     )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    feat = featurize_docs(docs)
+    tags = doc_tags(feat, k=15)
+    cands = candidate_pairs(
+        feat.select("doc_id", "sig"), bands=64, max_bucket=10_000
+    )
+    edges = (
+        verify_pairs(cands, feat, tags, sim_bound=0.85)
+        .select("a", "b")
+        .localCheckpoint()  # verify runs once; CC + greedy both reuse
+    )
+    comps = connected_components(edges)
+    return greedy_relabel(edges, comps, max_similar=5).orderBy(
+        "cluster_id", "member_rank"
+    )
+
+
+SQL_NEWS_CLUSTERS_LSH = r"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id < 500
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM t, unnest(toks) AS u(word)
+  WHERE length(word) > 1
+  GROUP BY doc_id, word
+),
+dfreq AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, word, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, word ASC) AS rn
+  FROM tf JOIN dfreq USING (word)
+),
+tags AS MATERIALIZED (SELECT doc_id, word FROM ranked WHERE rn <= 15),
+ids AS MATERIALIZED (SELECT doc_id FROM t),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM ids a, ids b WHERE a.doc_id < b.doc_id
+),
+terms AS (
+  SELECT p.a, p.b,
+         CAST(coalesce(ta.tf, 0) AS BIGINT) AS ca,
+         CAST(coalesce(tb.tf, 0) AS BIGINT) AS cb
+  FROM pairs p
+  JOIN tags g ON g.doc_id = p.a
+  LEFT JOIN tf ta ON ta.doc_id = p.a AND ta.word = g.word
+  LEFT JOIN tf tb ON tb.doc_id = p.b AND tb.word = g.word
+),
+agg AS MATERIALIZED (
+  SELECT a, b,
+         CAST(sum(ca*cb) AS BIGINT) AS num,
+         CAST(sum(ca*ca) AS BIGINT) AS d1,
+         CAST(sum(cb*cb) AS BIGINT) AS d2
+  FROM terms GROUP BY a, b
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM agg
+  WHERE (CASE WHEN sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) < 1e-5
+              THEN 0.0
+              ELSE CAST(num AS DOUBLE)
+                   / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) END)
+        >= 0.85
+),
+adj AS MATERIALIZED (
+  SELECT a, list(b ORDER BY b) AS nb, CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY a) AS BIGINT) AS seq
+  FROM edges GROUP BY a
+),
+greedy AS (
+  SELECT CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS consumed,
+         CAST([] AS STRUCT(cid BIGINT, members BIGINT[])[]) AS clusters
+  UNION ALL
+  SELECT g.step + 1,
+         CASE WHEN list_contains(g.consumed, nxt.a) OR nxt.n > 5
+              THEN g.consumed
+              ELSE list_concat(g.consumed, nxt.nb) END,
+         CASE WHEN list_contains(g.consumed, nxt.a) OR nxt.n > 5
+              THEN g.clusters
+              ELSE list_append(
+                     g.clusters,
+                     {'cid': nxt.a,
+                      'members': list_prepend(nxt.a, nxt.nb)}) END
+  FROM greedy g JOIN adj nxt ON nxt.seq = g.step + 1
+),
+final AS (SELECT clusters FROM greedy ORDER BY step DESC LIMIT 1),
+cl AS (SELECT unnest(clusters, recursive := false) AS c FROM final)
+SELECT c.cid AS cluster_id,
+       unnest(c.members) AS doc_id,
+       CAST(unnest(range(0, len(c.members))) AS INT) AS member_rank
+FROM cl
+ORDER BY cluster_id, member_rank
+"""
 
 
 def q_v1_cross_source_clusters(spark, sf_dir):
     """J1 faithful form: the v1 pipeline's cross-source greedy
-    (categorize.py:40-68) — one pool per source grammar, top-1 match
-    per later pool, matched docs consumed. Engine-only (the
-    sequential consume loop is not SQL-expressible); semantics pinned
-    vs the reference's committed result/ goldens in
-    tests/test_golden_clusters.py (pairwise F1 0.911)."""
+    (categorize.py:40-68 + findsimilarpassage.py:21-44) — one pool per
+    source, seeds scan pool-major, each seed takes at most one
+    strictly-> 0.75 best match from EACH later pool, matched docs
+    consumed for good. Runs over the documents slice (20 `source`
+    pools of 25 docs at sf0.01; doc_id < 500 keeps it SF-invariant).
+
+    Driver HASH oracle (rows-only until round 4): candidate sims are
+    STATIC (seed tags depend only on the seed), so DuckDB precomputes
+    per-(seed, later-source) candidate lists ordered by
+    (sim DESC, doc ASC) and the recursive CTE replays the consume loop
+    with pure list lambdas — each step's matches are the first
+    not-yet-consumed entry of each list; no subquery in the recursive
+    term. Float compares are cross-engine stable: every dot product
+    and norm is an exact int64 in double, sqrt/divide correctly
+    rounded, 0.75 exactly representable. Reference-corpus parity
+    (result/ goldens) remains pinned by tests/test_golden_clusters.py
+    on the grammar corpus."""
     from ..operators.clustering import cluster_documents_v1_sources
 
-    docs = _dup_corpus(spark).withColumn(
-        "source",
-        F.when(F.col("source").contains("qq.com"), "tencent")
-        .when(F.col("source").contains("163.com"), "netease")
-        .otherwise("sina"),
-    ).withColumn("day", F.lit("d0"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .withColumn("day", F.lit("d0"))
+    )
+    order = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
+    )
     out = cluster_documents_v1_sources(
-        docs, ["tencent", "netease", "sina"], day_col="day"
+        docs, order, day_col="day", sim_bound=0.75, tag_num=10
     )
     return out.select(
         "seed_id",
@@ -1521,6 +1651,144 @@ def q_v1_cross_source_clusters(spark, sf_dir):
         ),
         F.concat_ws(",", "source_list").alias("source_csv"),
     ).orderBy("seed_id")
+
+
+SQL_V1_CROSS_SOURCE_CLUSTERS = r"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id < 500
+),
+srcs AS MATERIALIZED (
+  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS si
+  FROM (SELECT DISTINCT source FROM t)
+),
+d AS MATERIALIZED (
+  SELECT t.doc_id, t.source, s.si FROM t JOIN srcs s USING (source)
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM t, unnest(toks) AS u(word)
+  WHERE length(word) > 1
+  GROUP BY doc_id, word
+),
+dfreq AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, word, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, word ASC) AS rn
+  FROM tf JOIN dfreq USING (word)
+),
+tags AS MATERIALIZED (SELECT doc_id, word FROM ranked WHERE rn <= 10),
+seedvec AS MATERIALIZED (
+  SELECT g.doc_id AS s, CAST(sum(f.tf * f.tf) AS BIGINT) AS d1
+  FROM tags g JOIN tf f ON f.doc_id = g.doc_id AND f.word = g.word
+  GROUP BY g.doc_id
+),
+sims AS MATERIALIZED (
+  SELECT p.s, p.c, p.csi, p.sim FROM (
+    SELECT sd.doc_id AS s, cd.doc_id AS c, cd.si AS csi,
+           CAST(q.num AS DOUBLE)
+             / sqrt(CAST(sv.d1 AS DOUBLE) * CAST(q.d2 AS DOUBLE)) AS sim
+    FROM d sd
+    JOIN d cd ON cd.si > sd.si
+    JOIN seedvec sv ON sv.s = sd.doc_id
+    JOIN (
+      SELECT g.doc_id AS s, f2.doc_id AS c,
+             CAST(sum(f1.tf * coalesce(f2c.tf, 0)) AS BIGINT) AS num,
+             CAST(sum(coalesce(f2c.tf, 0) * coalesce(f2c.tf, 0)) AS BIGINT)
+               AS d2
+      FROM tags g
+      JOIN tf f1 ON f1.doc_id = g.doc_id AND f1.word = g.word
+      JOIN (SELECT DISTINCT doc_id FROM tf) f2 ON true
+      LEFT JOIN tf f2c ON f2c.doc_id = f2.doc_id AND f2c.word = g.word
+      GROUP BY g.doc_id, f2.doc_id
+    ) q ON q.s = sd.doc_id AND q.c = cd.doc_id
+    WHERE q.d2 > 0
+  ) p
+  WHERE p.sim > 0.75
+),
+seeds AS MATERIALIZED (
+  SELECT d.doc_id AS s,
+         CAST(row_number() OVER (ORDER BY d.si, d.doc_id) AS BIGINT) AS seq
+  FROM d
+  JOIN seedvec sv ON sv.s = d.doc_id
+  WHERE d.si < (SELECT max(si) FROM srcs)
+),
+cands AS MATERIALIZED (
+  SELECT s, csi, list(c ORDER BY sim DESC, c ASC) AS clist
+  FROM sims GROUP BY s, csi
+),
+seedcand AS MATERIALIZED (
+  SELECT se.s, se.seq,
+         coalesce(
+           list({'csi': c.csi, 'clist': c.clist} ORDER BY c.csi)
+             FILTER (WHERE c.csi IS NOT NULL),
+           CAST([] AS STRUCT(csi BIGINT, clist BIGINT[])[])) AS cand
+  FROM seeds se LEFT JOIN cands c ON c.s = se.s
+  GROUP BY se.s, se.seq
+),
+greedy AS (
+  SELECT CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS consumed,
+         CAST([] AS STRUCT(seed BIGINT, members BIGINT[])[]) AS clusters
+  UNION ALL
+  SELECT g.step + 1,
+         CASE WHEN list_contains(g.consumed, nxt.s)
+              THEN g.consumed
+              ELSE list_concat(
+                     g.consumed,
+                     list_filter(
+                       list_transform(
+                         nxt.cand,
+                         sc -> list_filter(
+                                 sc.clist,
+                                 x -> NOT list_contains(g.consumed, x))[1]),
+                       y -> y IS NOT NULL)) END,
+         CASE WHEN list_contains(g.consumed, nxt.s)
+                   OR len(list_filter(
+                        list_transform(
+                          nxt.cand,
+                          sc -> list_filter(
+                                  sc.clist,
+                                  x -> NOT list_contains(g.consumed, x))[1]),
+                        y -> y IS NOT NULL)) = 0
+              THEN g.clusters
+              ELSE list_append(
+                     g.clusters,
+                     {'seed': nxt.s,
+                      'members': list_prepend(
+                        nxt.s,
+                        list_filter(
+                          list_transform(
+                            nxt.cand,
+                            sc -> list_filter(
+                                    sc.clist,
+                                    x -> NOT list_contains(g.consumed,
+                                                           x))[1]),
+                          y -> y IS NOT NULL))}) END
+  FROM greedy g
+  JOIN seedcand nxt ON nxt.seq = g.step + 1
+),
+final AS (SELECT clusters FROM greedy ORDER BY step DESC LIMIT 1),
+cl AS (SELECT unnest(clusters, recursive := false) AS c FROM final),
+mem AS (
+  SELECT c.seed AS seed_id,
+         unnest(c.members) AS member_id,
+         unnest(range(0, len(c.members))) AS r
+  FROM cl
+)
+SELECT m.seed_id,
+       string_agg(CAST(m.member_id AS VARCHAR), ',' ORDER BY m.r)
+         AS member_csv,
+       string_agg(d.source, ',' ORDER BY m.r) AS source_csv
+FROM mem m JOIN d ON d.doc_id = m.member_id
+GROUP BY m.seed_id
+ORDER BY m.seed_id
+"""
 
 
 def q_near_dup_groups(spark, sf_dir):
@@ -6679,9 +6947,12 @@ _QUERIES_BY_FAMILY = {
     # embeddings
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    # engine-only (rows-only)
-    "news_clusters_lsh": (q_news_clusters_lsh, None),
-    "v1_cross_source_clusters": (q_v1_cross_source_clusters, None),
+    # sequential-consume clusterings — recursive-CTE oracles since r4
+    "news_clusters_lsh": (q_news_clusters_lsh, SQL_NEWS_CLUSTERS_LSH),
+    "v1_cross_source_clusters": (
+        q_v1_cross_source_clusters,
+        SQL_V1_CROSS_SOURCE_CLUSTERS,
+    ),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "near_dup_groups": (q_near_dup_groups, SQL_NEAR_DUP_GROUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
@@ -6800,7 +7071,9 @@ _ALWAYS_ATTEST = [
     "extract_text", "extract_links",              # byte-identical kernel
     "extract_markers", "url_parse",
     "summarize",                                  # W2 top-15% gate
-    "news_clusters_lsh", "v1_cross_source_clusters",  # rows-only checks
+    # hash-oracled since r4 (recursive-CTE greedy replay; were the
+    # registry's last two rows-only entries)
+    "news_clusters_lsh", "v1_cross_source_clusters",
 ]
 
 _R4_ROTATION = [

@@ -1,0 +1,163 @@
+"""Three-way pin for the recursive-CTE greedy oracles (round 4).
+
+The all-pairs gate (test_queries_vs_duckdb) checks Spark == DuckDB for
+news_clusters_lsh / v1_cross_source_clusters. These tests add the
+third leg: the DuckDB recursive-CTE state machines must equal the
+PURE-PYTHON reference greedy (oracle/reference_impl semantics,
+categorize.cpp:92-165 / chnsegmt categorize.py:40-68), so a future
+edit to either SQL can't drift away from the reference loop while
+still agreeing with a matching Spark-side drift.
+
+Also pins the two environment-sensitivity preconditions the oracles
+rely on:
+- every similarity is built from exact int64 dot products / norms
+  (cross-engine float determinism), and
+- 64x1 MinHash banding is lossless on the attested corpus (the LSH
+  candidate set covers every brute-force edge), so the brute-force
+  DuckDB pair graph equals the engine's banded one.
+"""
+
+from collections import Counter
+
+from news_combinator_spark.oracle.reference_impl import (
+    doc_freq,
+    seed_similarity,
+    select_tags,
+)
+from news_combinator_spark.functions.textfns import cosine_guarded
+
+from conftest import SF_MED
+
+
+def _docs(duck):
+    return duck.execute(
+        "SELECT doc_id, text, source FROM documents "
+        "WHERE doc_id < 500 ORDER BY doc_id"
+    ).fetchall()
+
+
+def _v2_expected(rows):
+    toks = {r[0]: r[1].split() for r in rows}
+    ids = sorted(toks)
+    dfc = doc_freq(list(toks.values()))
+    tags = {i: select_tags(toks[i], dfc, 15) for i in ids}
+    nbrs: dict[int, list[int]] = {}
+    for ai, a in enumerate(ids):
+        va = tags[a]
+        for b in ids[ai + 1:]:
+            if seed_similarity(toks[a], toks[b], va) >= 0.85:
+                nbrs.setdefault(a, []).append(b)
+    handled: set[int] = set()
+    out = []
+    for i in ids:
+        if i in handled:
+            continue
+        handled.add(i)
+        similar = sorted(nbrs.get(i, []))
+        if len(similar) > 5:
+            continue
+        if similar:
+            handled.update(similar)
+            out.append((i, i, 0))
+            out.extend((i, j, r + 1) for r, j in enumerate(similar))
+    return out
+
+
+def test_v2_recursive_cte_matches_reference_greedy(duck):
+    from news_combinator_spark.plans.queries import SQL_NEWS_CLUSTERS_LSH
+
+    got = [tuple(r) for r in duck.execute(SQL_NEWS_CLUSTERS_LSH).fetchall()]
+    assert got == _v2_expected(_docs(duck))
+
+
+def test_v1_recursive_cte_matches_reference_greedy(duck):
+    from news_combinator_spark.plans.queries import (
+        SQL_V1_CROSS_SOURCE_CLUSTERS,
+    )
+
+    rows = _docs(duck)
+    toks = {r[0]: r[1].split() for r in rows}
+    src = {r[0]: r[2] for r in rows}
+    order = sorted(set(src.values()))
+    pools = {s: sorted(i for i in toks if src[i] == s) for s in order}
+    dfc = doc_freq(list(toks.values()))
+    expect = []
+    for i, s in enumerate(order[:-1]):
+        for nid in list(pools[s]):
+            seed_toks = toks[nid]
+            tg = select_tags(seed_toks, dfc, k=10)
+            tag_set = set(tg)
+            etf_counts = Counter(t for t in seed_toks if t in tag_set)
+            if not etf_counts:
+                continue
+            etf = {t: float(etf_counts.get(t, 0)) for t in tg}
+            members, slist = [nid], [s]
+            for later in order[i + 1:]:
+                best = None
+                for cand in pools[later]:
+                    cc = Counter(t for t in toks[cand] if t in tag_set)
+                    if not cc:
+                        continue
+                    ctf = {t: float(cc.get(t, 0)) for t in tg}
+                    sv = cosine_guarded(etf, ctf, version=1)
+                    if sv is not None and sv > 0.75 and (
+                        best is None or (-sv, cand) < (-best[0], best[1])
+                    ):
+                        best = (sv, cand)
+                if best is not None:
+                    pools[later].remove(best[1])
+                    members.append(best[1])
+                    slist.append(later)
+            if len(members) > 1:
+                expect.append(
+                    (nid, ",".join(map(str, members)), ",".join(slist))
+                )
+    expect.sort()
+    got = [
+        tuple(r)
+        for r in duck.execute(SQL_V1_CROSS_SOURCE_CLUSTERS).fetchall()
+    ]
+    assert got == expect
+
+
+def test_64x1_banding_lossless_on_attested_corpus(spark, duck):
+    """Every brute-force tag-cosine edge must be an LSH candidate at
+    64 bands x 1 row — the deterministic precondition that lets the
+    DuckDB oracle brute-force what the engine bands."""
+    from news_combinator_spark.operators.clustering import (
+        candidate_pairs,
+        doc_tags,
+        featurize_docs,
+        verify_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+    )
+    feat = featurize_docs(docs).persist()
+    tags = doc_tags(feat, k=15)
+    cands = candidate_pairs(
+        feat.select("doc_id", "sig"), bands=64, max_bucket=10_000
+    )
+    banded_edges = {
+        (r.a, r.b)
+        for r in verify_pairs(cands, feat, tags, sim_bound=0.85)
+        .select("a", "b")
+        .collect()
+    }
+    rows = _docs(duck)
+    brute = {(a, b, r) for a, b, r in _v2_expected(rows)}
+    toks = {r[0]: r[1].split() for r in rows}
+    ids = sorted(toks)
+    dfc = doc_freq(list(toks.values()))
+    tg = {i: select_tags(toks[i], dfc, 15) for i in ids}
+    brute_edges = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if seed_similarity(toks[a], toks[b], tg[a]) >= 0.85
+    }
+    feat.unpersist()
+    assert brute_edges == banded_edges
