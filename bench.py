@@ -148,6 +148,7 @@ SQL_BENCH_QUERIES = [
     "shard_rendezvous",
     "freshness_revisit",
     "alpha_mix",
+    "dsir_select",
     "cdx_export",
     "discovery_yield",
     "bm25_search",

@@ -6890,6 +6890,88 @@ SQL_INDEX_DELTA_MERGE = r"""
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023): select the
+    100 candidate docs whose hashed uni+bigram profile best matches a
+    target domain (sources src0/src1 are the target; everything else
+    is the candidate pool). Weights are exact BIGINTs — each bucket's
+    Laplace-smoothed log-ratio is scaled to an integer
+    (round(1e6 * ln)), so selection order and output carry no
+    cross-engine float; the single ln per bucket is margin-pinned by
+    tests/test_snapshots_sampling.py. Slice doc_id < 500 keeps the
+    cost SF-invariant."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return sampling.dsir_select(
+        docs,
+        F.col("source").isin("src0", "src1"),
+        n_buckets=1024,
+        k=100,
+    )
+
+
+SQL_DSIR_SELECT = f"""
+    WITH docs0 AS (
+      SELECT doc_id, text, source IN ('src0', 'src1') AS is_target
+      FROM documents WHERE doc_id < 500
+    ),
+    toks AS (
+      SELECT doc_id, is_target,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS tk
+      FROM docs0
+    ),
+    feats AS (
+      SELECT doc_id, is_target,
+             unnest(list_concat(
+               tk,
+               list_transform(range(1, greatest(len(tk), 1)),
+                              i -> tk[i] || ' ' || tk[i + 1]))) AS feat
+      FROM toks
+    ),
+    b AS (
+      SELECT doc_id, is_target,
+             {_hex13_to_bigint_sql("md5(feat)")} % 1024 AS bucket
+      FROM feats
+    ),
+    counts AS (
+      SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY doc_id, is_target, bucket
+    ),
+    rawb AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr
+      FROM counts WHERE NOT is_target GROUP BY bucket
+    ),
+    tgtb AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct
+      FROM counts WHERE is_target GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(coalesce(sum(CASE WHEN is_target THEN cnt END), 0)
+                  AS BIGINT) AS tt,
+             CAST(coalesce(sum(CASE WHEN NOT is_target THEN cnt END), 0)
+                  AS BIGINT) AS tr
+      FROM counts
+    ),
+    lr AS (
+      SELECT r.bucket,
+             CAST(round(1000000.0 * ln(
+               CAST((coalesce(t.ct, 0) + 1) * (tot.tr + 1024) AS DOUBLE)
+               / CAST((r.cr + 1) * (tot.tt + 1024) AS DOUBLE)), 0)
+               AS BIGINT) AS lr
+      FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot
+    ),
+    wts AS (
+      SELECT c.doc_id, CAST(sum(c.cnt * l.lr) AS BIGINT) AS weight
+      FROM counts c JOIN lr l USING (bucket)
+      WHERE NOT c.is_target GROUP BY c.doc_id
+    )
+    SELECT doc_id, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT)
+             AS rank
+    FROM wts ORDER BY weight DESC, doc_id LIMIT 100
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -7029,6 +7111,7 @@ _QUERIES_BY_FAMILY = {
     "shard_rendezvous": (q_shard_rendezvous, SQL_SHARD_RENDEZVOUS),
     "freshness_revisit": (q_freshness_revisit, SQL_FRESHNESS_REVISIT),
     "alpha_mix": (q_alpha_mix, SQL_ALPHA_MIX),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "cdx_export": (q_cdx_export, SQL_CDX_EXPORT),
     "discovery_yield": (q_discovery_yield, SQL_DISCOVERY_YIELD),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
@@ -7101,15 +7184,19 @@ _R4_ROTATION = [
     "request_rate_budgets", "sitemap_index",
     # Re-attest consumers of this round's dedup/CC latency work (the
     # exact size-ratio prune before near-dup verify, the single-pass
-    # edge symmetrization, and the collect-based local CC fetch) plus
-    # the oldest r2-only dedup attestations, to shrink attestation
-    # age. (dedup_first and pack_sequences yielded their slots to the
-    # new audio_features/video_features: their exact keep-first and
-    # packing paths did not change this round, so their r2 green rows
-    # are still valid for the implementations they attest, and the
-    # local all-pairs gate covers both every run.)
-    "near_dup_groups", "dedup_stats",
+    # edge symmetrization, the deduplicated LSH band join, and the
+    # collect-based local CC fetch). (dedup_first, pack_sequences and
+    # dedup_stats yielded their slots to the new audio_features /
+    # video_features / dsir_select — new queries enter the window the
+    # round they ship: their exact keep-first, packing and
+    # exact-dup-stats paths did not change this round, so their r2
+    # green rows are still valid for the implementations they attest,
+    # and the local all-pairs gate covers all three every run.)
+    "near_dup_groups",
     "minhash_near_dups", "simhash_near_dups",
+    # NEW this round: DSIR importance resampling (enters the window
+    # the round it ships).
+    "dsir_select",
     # Everything in the r3 window that dropped out here keeps its
     # CORRECTNESS_r03.json green row (earned by the implementation
     # it still has) plus the always-on local all-pairs gate.

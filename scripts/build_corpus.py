@@ -16,6 +16,10 @@ operators, in the order every public webtext pipeline documents:
                             by token count, not blind min-id)
       -> decontamination   (word 4-gram overlap vs a held-out eval
                             slice, broadcast semi-join)
+      -> DSIR resampling   (optional --dsir-hosts/--dsir-k: keep the
+                            curated target hosts + the k candidates
+                            whose hashed-n-gram profile best matches
+                            them — operators/sampling.dsir_select)
       -> sequence packing  (two-level prefix sum -> seq_id/offset)
       -> sharded export    + integrity manifest
 
@@ -75,6 +79,8 @@ def build(
     seq_budget: int = 2048,
     shard_records: int = 1000,
     near_dup_threshold: float = 0.8,
+    dsir_target_hosts: list[str] | None = None,
+    dsir_k: int = 0,
 ) -> dict:
     funnel: dict[str, int] = {}
     pages = pages_from_documents(spark, sf_dir)
@@ -153,6 +159,25 @@ def build(
     ).persist()
     funnel["after_decontamination"] = train.count()
 
+    # ---- optional DSIR stage: resample toward a target domain --------
+    # (Xie et al. 2023 importance resampling; operators/sampling.
+    # dsir_select). Keeps the curated target hosts themselves plus the
+    # k candidates whose hashed-n-gram profile scores highest against
+    # the target bucket distribution — the "make the crawl look like
+    # the curated slice" step of a quality-targeted pretraining mix.
+    if dsir_target_hosts and dsir_k:
+        from news_combinator_spark.operators.sampling import dsir_select
+
+        pred = F.col("host").isin(*dsir_target_hosts)
+        selected = dsir_select(train, pred, k=dsir_k).select("doc_id")
+        keep_ids = selected.union(
+            train.filter(pred).select("doc_id")
+        )
+        resampled = train.join(keep_ids, "doc_id", "semi").persist()
+        funnel["after_dsir"] = resampled.count()
+        train.unpersist()
+        train = resampled
+
     # ---- packing + shards + manifest -----------------------------------
     packed = pack_sequences(
         train, budget=seq_budget, token_col="n_tok"
@@ -206,6 +231,13 @@ def main() -> None:
     ap.add_argument("--seq-budget", type=int, default=2048)
     ap.add_argument("--shard-records", type=int, default=1000)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--dsir-hosts",
+        default="",
+        help="comma-separated target hosts: keep them + the "
+        "--dsir-k candidates that best match their n-gram profile",
+    )
+    ap.add_argument("--dsir-k", type=int, default=0)
     args = ap.parse_args()
 
     spark = get_spark(app_name="nc-build-corpus")
@@ -221,6 +253,10 @@ def main() -> None:
         seq_budget=args.seq_budget,
         shard_records=args.shard_records,
         near_dup_threshold=args.threshold,
+        dsir_target_hosts=[
+            h for h in args.dsir_hosts.split(",") if h
+        ],
+        dsir_k=args.dsir_k,
     )
     result["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(result))

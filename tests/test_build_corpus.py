@@ -60,3 +60,34 @@ def test_export_text_is_scrubbed(result, spark):
         "text rlike '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}'"
     )
     assert leaked.count() == 0
+
+
+def test_dsir_stage_keeps_targets_and_k_best(result, spark):
+    """--dsir-hosts/--dsir-k: the resampled corpus is the surviving
+    target-host docs plus at most k selected candidates; the funnel
+    records the stage, and the default build (module fixture) skips
+    it."""
+    from pyspark.sql import functions as F
+
+    from news_combinator_spark.datagen import pages_from_documents
+
+    base, _ = result
+    assert "after_dsir" not in base["funnel"]
+
+    hosts = [
+        r.host
+        for r in pages_from_documents(spark, SF_SMALL)
+        .select("host")
+        .distinct()
+        .limit(2)
+        .collect()
+    ]
+    k = 5
+    r = build(spark, SF_SMALL, dsir_target_hosts=hosts, dsir_k=k)
+    f = r["funnel"]
+    assert "after_dsir" in f
+    assert f["after_dsir"] <= f["after_decontamination"]
+    # the stage keeps at most (surviving targets + k) docs
+    full = pages_from_documents(spark, SF_SMALL)
+    n_targets = full.filter(F.col("host").isin(*hosts)).count()
+    assert f["after_dsir"] <= n_targets + k

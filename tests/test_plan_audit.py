@@ -246,7 +246,8 @@ _LAZY_QUERIES = [
     "delta_admit", "trap_hosts", "host_reputation",
     "ngram_counts", "wat_export", "frontier_merge",
     "inverted_index", "term_search", "shard_rendezvous",
-    "freshness_revisit", "alpha_mix", "cdx_export", "discovery_yield",
+    "freshness_revisit", "alpha_mix", "dsir_select", "cdx_export",
+    "discovery_yield",
     "bm25_search", "hits_rank", "opic_priority", "param_significance",
     "phrase_search", "path_profile", "reciprocal_hosts", "stale_robots",
     "containment_pairs", "host_clusters", "drain_forecast",
