@@ -165,15 +165,32 @@ def build(
     # k candidates whose hashed-n-gram profile scores highest against
     # the target bucket distribution — the "make the crawl look like
     # the curated slice" step of a quality-targeted pretraining mix.
+    if bool(dsir_target_hosts) != bool(dsir_k):
+        raise ValueError(
+            "dsir_target_hosts and dsir_k must be set together "
+            f"(got hosts={dsir_target_hosts!r}, k={dsir_k})"
+        )
     if dsir_target_hosts and dsir_k:
         from news_combinator_spark.operators.sampling import dsir_select
 
         pred = F.col("host").isin(*dsir_target_hosts)
+        n_targets = train.filter(pred).count()
+        if n_targets == 0:
+            # without this a typo'd host list would silently shrink
+            # the whole corpus to k docs scored against a degenerate
+            # (empty-target) bucket distribution
+            raise ValueError(
+                f"dsir_target_hosts {dsir_target_hosts!r} matched no "
+                "surviving docs (typo, or all dropped by earlier "
+                "gates) — refusing to resample against an empty "
+                "target distribution"
+            )
         selected = dsir_select(train, pred, k=dsir_k).select("doc_id")
         keep_ids = selected.union(
             train.filter(pred).select("doc_id")
         )
         resampled = train.join(keep_ids, "doc_id", "semi").persist()
+        funnel["dsir_targets"] = n_targets
         funnel["after_dsir"] = resampled.count()
         train.unpersist()
         train = resampled

@@ -25,13 +25,6 @@ TABLES = (
 ).split()
 
 
-def _normalize(df):
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -41,6 +34,9 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    from news_combinator_spark.oracle.compare import (
+        normalize_frame as _normalize,
+    )
     from news_combinator_spark.plans.queries import QUERIES
 
     spark = (

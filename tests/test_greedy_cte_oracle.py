@@ -37,29 +37,22 @@ def _docs(duck):
 
 
 def _v2_expected(rows):
-    toks = {r[0]: r[1].split() for r in rows}
-    ids = sorted(toks)
-    dfc = doc_freq(list(toks.values()))
-    tags = {i: select_tags(toks[i], dfc, 15) for i in ids}
-    nbrs: dict[int, list[int]] = {}
-    for ai, a in enumerate(ids):
-        va = tags[a]
-        for b in ids[ai + 1:]:
-            if seed_similarity(toks[a], toks[b], va) >= 0.85:
-                nbrs.setdefault(a, []).append(b)
-    handled: set[int] = set()
+    """Reference greedy over the docs slice, via the ACTUAL parity
+    oracle (reference_impl.greedy_clusters — index-based, so doc ids
+    are mapped through the sorted id list; tokenize() == split() on
+    this ASCII corpus, pinned below in the banding test which
+    recomputes edges from split() tokens and must agree)."""
+    from news_combinator_spark.oracle.reference_impl import (
+        greedy_clusters,
+    )
+
+    ids = sorted(r[0] for r in rows)
+    texts = [r[1] for r in sorted(rows, key=lambda r: r[0])]
     out = []
-    for i in ids:
-        if i in handled:
-            continue
-        handled.add(i)
-        similar = sorted(nbrs.get(i, []))
-        if len(similar) > 5:
-            continue
-        if similar:
-            handled.update(similar)
-            out.append((i, i, 0))
-            out.extend((i, j, r + 1) for r, j in enumerate(similar))
+    for c in greedy_clusters(texts):
+        out.extend(
+            (ids[c.seed], ids[m], r) for r, m in enumerate(c.members)
+        )
     return out
 
 
@@ -148,7 +141,6 @@ def test_64x1_banding_lossless_on_attested_corpus(spark, duck):
         .collect()
     }
     rows = _docs(duck)
-    brute = {(a, b, r) for a, b, r in _v2_expected(rows)}
     toks = {r[0]: r[1].split() for r in rows}
     ids = sorted(toks)
     dfc = doc_freq(list(toks.values()))

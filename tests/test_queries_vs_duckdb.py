@@ -13,18 +13,9 @@ WITH_ORACLE = [n for n, (_f, sql) in QUERIES.items() if sql is not None]
 ROWS_ONLY = [n for n, (_f, sql) in QUERIES.items() if sql is None]
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    # Stringify EVERY column, not just object ones: the driver's gate
-    # hashes stringified values, so "-0.0" != "0.0" and "472" != "472.0"
-    # are real failures there — a numeric atol compare here would mask
-    # exactly the environment-sensitive mismatches that made
-    # admission_funnel / shard_manifest / freshness_revisit driver-red
-    # while this local gate stayed green (rounds 3-4).
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+from news_combinator_spark.oracle.compare import (  # noqa: E402
+    normalize_frame as _normalize,
+)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
