@@ -136,19 +136,28 @@ def doc_tags(tokens_df: DataFrame, k: int = TAG_NUM) -> DataFrame:
     # tf rows are distinct per (doc_id, word), so doc-frequency is a
     # plain count per word — no dropDuplicates shuffle needed.
     df_counts = tf.groupBy("word").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("word")
+    # ONE hash aggregation instead of window-rank + regroup: collect
+    # (-tf, df, word) structs per doc, array_sort (ascending struct
+    # order == tf desc, df asc, word asc — the KeywordExtractor
+    # ordering), slice k. The former row_number window sorted every
+    # tf row inside a sort-based exchange and then re-grouped on the
+    # same key; here the sort is per-group over the bounded per-doc
+    # vocab. Interleaved A/B at bench volume (20k docs): same minimum
+    # wall (19.4 vs 19.7 s cluster phase) — kept for the shorter
+    # plan (one fewer stage barrier), identical outputs pinned by
+    # test_tags_match_oracle and the news_clusters_lsh hash oracle.
+    ranked = tf.join(df_counts, "word").groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                (-F.col("tf")).alias("ntf"), "df", "word"
+            )
+        ).alias("rw")
     )
-    ranked = (
-        tf.join(df_counts, "word")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
-    return ranked.groupBy("doc_id").agg(
-        F.collect_list(F.struct("rn", "word")).alias("rw")
-    ).select(
+    return ranked.select(
         "doc_id",
-        F.expr("transform(array_sort(rw), x -> x.word)").alias("tags"),
+        F.expr(
+            f"transform(slice(array_sort(rw), 1, {int(k)}), x -> x.word)"
+        ).alias("tags"),
     )
 
 
