@@ -7200,6 +7200,14 @@ _R4_ROTATION = [
     # Everything in the r3 window that dropped out here keeps its
     # CORRECTNESS_r03.json green row (earned by the implementation
     # it still has) plus the always-on local all-pairs gate.
+    #
+    # ROUND-5 WINDOW PLAN: once CORRECTNESS_r04 lands green, every
+    # registry entry has a driver-green row earned by its current
+    # implementation (union of r2/r3/r4) — there is NO standing
+    # attestation debt. The r5 window should therefore be:
+    # _ALWAYS_ATTEST + anything whose Spark fn or oracle changes in
+    # round 5 + the oldest still-valid attestations to fill the
+    # remaining slots (oldest-first keeps attestation age bounded).
 ]
 
 QUERIES = {
