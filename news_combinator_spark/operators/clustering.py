@@ -141,10 +141,15 @@ def doc_tags(tokens_df: DataFrame, k: int = TAG_NUM) -> DataFrame:
     # order == tf desc, df asc, word asc — the KeywordExtractor
     # ordering), slice k. The former row_number window sorted every
     # tf row inside a sort-based exchange and then re-grouped on the
-    # same key; here the sort is per-group over the bounded per-doc
-    # vocab. Interleaved A/B at bench volume (20k docs): same minimum
-    # wall (19.4 vs 19.7 s cluster phase) — kept for the shorter
-    # plan (one fewer stage barrier), identical outputs pinned by
+    # same key; here the sort is per-group over the per-doc vocab.
+    # Memory envelope: the collected array is doc-vocabulary-sized,
+    # which is the SAME bound the pipeline already commits to
+    # upstream — featurize_docs carries each doc's full `tokens` and
+    # `wc` arrays as single Arrow values — and Spark's object-hash
+    # aggregate falls back to sort-based spilling when buffers grow.
+    # Interleaved A/B at bench volume (20k docs): same minimum wall
+    # (19.4 vs 19.7 s cluster phase) — kept for the shorter plan
+    # (one fewer stage barrier), identical outputs pinned by
     # test_tags_match_oracle and the news_clusters_lsh hash oracle.
     ranked = tf.join(df_counts, "word").groupBy("doc_id").agg(
         F.collect_list(

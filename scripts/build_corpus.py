@@ -82,6 +82,16 @@ def build(
     dsir_target_hosts: list[str] | None = None,
     dsir_k: int = 0,
 ) -> dict:
+    # validate the DSIR config BEFORE any Spark work: a bad pairing
+    # discovered after the (expensive) gate/dedup stages is exactly
+    # the late failure these checks exist to prevent
+    if dsir_k < 0:
+        raise ValueError(f"dsir_k must be >= 0, got {dsir_k}")
+    if bool(dsir_target_hosts) != bool(dsir_k):
+        raise ValueError(
+            "dsir_target_hosts and dsir_k must be set together "
+            f"(got hosts={dsir_target_hosts!r}, k={dsir_k})"
+        )
     funnel: dict[str, int] = {}
     pages = pages_from_documents(spark, sf_dir)
     funnel["fetched"] = pages.count()
@@ -165,16 +175,12 @@ def build(
     # k candidates whose hashed-n-gram profile scores highest against
     # the target bucket distribution — the "make the crawl look like
     # the curated slice" step of a quality-targeted pretraining mix.
-    if bool(dsir_target_hosts) != bool(dsir_k):
-        raise ValueError(
-            "dsir_target_hosts and dsir_k must be set together "
-            f"(got hosts={dsir_target_hosts!r}, k={dsir_k})"
-        )
     if dsir_target_hosts and dsir_k:
         from news_combinator_spark.operators.sampling import dsir_select
 
         pred = F.col("host").isin(*dsir_target_hosts)
-        n_targets = train.filter(pred).count()
+        targets = train.filter(pred).select("doc_id")
+        n_targets = targets.count()
         if n_targets == 0:
             # without this a typo'd host list would silently shrink
             # the whole corpus to k docs scored against a degenerate
@@ -186,10 +192,9 @@ def build(
                 "target distribution"
             )
         selected = dsir_select(train, pred, k=dsir_k).select("doc_id")
-        keep_ids = selected.union(
-            train.filter(pred).select("doc_id")
-        )
-        resampled = train.join(keep_ids, "doc_id", "semi").persist()
+        resampled = train.join(
+            selected.union(targets), "doc_id", "semi"
+        ).persist()
         funnel["dsir_targets"] = n_targets
         funnel["after_dsir"] = resampled.count()
         train.unpersist()

@@ -91,3 +91,21 @@ def test_dsir_stage_keeps_targets_and_k_best(result, spark):
     full = pages_from_documents(spark, SF_SMALL)
     n_targets = full.filter(F.col("host").isin(*hosts)).count()
     assert f["after_dsir"] <= n_targets + k
+
+
+def test_dsir_stage_arg_validation(spark):
+    """Bad DSIR configs fail fast, before the funnel runs: negative
+    k, and hosts/k given without each other."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        build(spark, SF_SMALL, dsir_target_hosts=["h0.test"], dsir_k=-5)
+    with _pytest.raises(ValueError, match="set together"):
+        build(spark, SF_SMALL, dsir_target_hosts=["h0.test"], dsir_k=0)
+    with _pytest.raises(ValueError, match="set together"):
+        build(spark, SF_SMALL, dsir_k=7)
+    with _pytest.raises(ValueError, match="matched no"):
+        build(
+            spark, SF_SMALL,
+            dsir_target_hosts=["no-such-host.test"], dsir_k=7,
+        )

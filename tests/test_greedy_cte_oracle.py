@@ -17,7 +17,10 @@ rely on:
   DuckDB pair graph equals the engine's banded one.
 """
 
+import os
 from collections import Counter
+
+import pytest
 
 from news_combinator_spark.oracle.reference_impl import (
     doc_freq,
@@ -26,7 +29,7 @@ from news_combinator_spark.oracle.reference_impl import (
 )
 from news_combinator_spark.functions.textfns import cosine_guarded
 
-from conftest import SF_MED
+from conftest import SF_LARGE, SF_MED
 
 
 def _docs(duck):
@@ -155,6 +158,10 @@ def test_64x1_banding_lossless_on_attested_corpus(spark, duck):
     assert brute_edges == banded_edges
 
 
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF_LARGE}/documents.parquet"),
+    reason="sf0.1 testdata not generated on this host",
+)
 def test_cte_oracles_agree_at_sf01_too(spark):
     """The all-pairs gate pins sf0.01; the driver only ever runs that
     scale, but the bench runs these queries over the sf0.1 slice,
@@ -169,15 +176,14 @@ def test_cte_oracles_agree_at_sf01_too(spark):
     from news_combinator_spark.oracle.compare import normalize_frame
     from news_combinator_spark.plans.queries import QUERIES
 
-    sf_dir = "/root/testdata/sf0.1"
     duck = duckdb.connect()
     duck.execute(
         "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
+        f"read_parquet('{SF_LARGE}/documents.parquet')"
     )
     for name in ("news_clusters_lsh", "v1_cross_source_clusters"):
         fn, sql = QUERIES[name]
-        got = normalize_frame(fn(spark, sf_dir).toPandas())
+        got = normalize_frame(fn(spark, SF_LARGE).toPandas())
         exp = normalize_frame(duck.execute(sql).fetchdf())
         assert len(got) == len(exp) > 0, (name, len(got), len(exp))
         assert got.equals(exp), name
