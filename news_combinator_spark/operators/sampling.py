@@ -228,7 +228,15 @@ def dsir_select(
 
     ``target_pred`` is a boolean Column: rows where it is true define
     the target distribution; rows where it is false are the candidate
-    pool being selected from (targets are never returned).
+    pool being selected from (targets are never returned). Pass a
+    NULL-proof predicate (e.g. ``isin(...).eqNullSafe(True)``) — a
+    row where the predicate evaluates NULL is neither target nor
+    candidate and silently drops out. Candidates with EMPTY text
+    (zero features after tokenization) likewise never appear in the
+    result, even when the candidate pool is smaller than k: the
+    feature explode produces no rows for them, which matches DSIR
+    semantics (an empty doc has no evidence of target resemblance)
+    but means callers must not assume exactly-k output (ADVICE r4).
     """
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")

@@ -178,7 +178,11 @@ def build(
     if dsir_target_hosts and dsir_k:
         from news_combinator_spark.operators.sampling import dsir_select
 
-        pred = F.col("host").isin(*dsir_target_hosts)
+        # eqNullSafe(True) coalesces the three-valued isin() to a
+        # plain boolean: a NULL-host row is a non-target CANDIDATE
+        # (scored like any other doc) instead of being silently
+        # dropped from both sides of the semi-join (ADVICE r4).
+        pred = F.col("host").isin(*dsir_target_hosts).eqNullSafe(True)
         targets = train.filter(pred).select("doc_id")
         n_targets = targets.count()
         if n_targets == 0:

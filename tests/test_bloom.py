@@ -8,13 +8,12 @@ merge is union, and the state is a DataFrame — never a driver bitset.
 import numpy as np
 
 from news_combinator_spark.operators.bloom import (
-    Bloom,
-    build_bloom,
     build_sharded_bloom,
-    maybe_seen_udf,
     optimal_params,
     sharded_params,
 )
+
+from tests.bloom_legacy import Bloom, build_bloom, maybe_seen_udf
 
 
 def test_no_false_negatives_local():
@@ -142,9 +141,9 @@ def test_sharded_paths_never_collect_bitsets():
     """Structural audit (VERDICT r2 'done' criterion: no driver-side
     full-bitset merge): in the sharded bloom and cuckoo code paths the
     only driver collect() is the 1-row MAX(length) aggregate of
-    max_shard_bytes — the legacy single-bitset Bloom.build_bloom is
-    the one other site, and it is not reachable from ShardedBloom,
-    ShardedCuckoo, or the crawl loop."""
+    max_shard_bytes — the legacy single-bitset build_bloom now lives
+    under tests/ (bloom_legacy.py) and is not importable from the
+    engine package at all."""
     import inspect
 
     from news_combinator_spark.operators import bloom, cuckoo
@@ -163,3 +162,7 @@ def test_sharded_paths_never_collect_bitsets():
         assert "broadcast(" not in src, fn.__qualname__
     # the audit helper is the single sanctioned 1-row collect
     assert ".collect()" in inspect.getsource(bloom.ShardedBloom.max_shard_bytes)
+    # VERDICT r4 #7 done-criterion: no driver-merged bloom path is
+    # importable from the engine package
+    for legacy in ("Bloom", "build_bloom", "maybe_seen_udf"):
+        assert not hasattr(bloom, legacy), legacy
