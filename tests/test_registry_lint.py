@@ -53,8 +53,8 @@ def test_no_shadowed_module_level_defs():
 
 
 def test_rotation_window_is_exactly_50_and_loses_nothing():
-    assert len(q._ALWAYS_ATTEST) + len(q._R4_ROTATION) == 50
-    window = q._ALWAYS_ATTEST + q._R4_ROTATION
+    assert len(q._ALWAYS_ATTEST) + len(q._R5_ROTATION) == 50
+    window = q._ALWAYS_ATTEST + q._R5_ROTATION
     assert len(set(window)) == 50, "duplicate names in the window"
     assert list(q.QUERIES)[:50] == window
     assert set(q.QUERIES) == set(q._QUERIES_BY_FAMILY)
