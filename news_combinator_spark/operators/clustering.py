@@ -565,6 +565,62 @@ def connected_components(
     return labels
 
 
+def _greedy_scan(a_vals, b_vals, rows: list, max_similar: int) -> None:
+    """Reference greedy (categorize.cpp:92-165) over a directional
+    (a < b) edge list, seeds visited in ascending doc-id scan order.
+    Shared by the distributed per-component pandas groups AND the
+    fused driver path (greedy_membership): the handled-set
+    bookkeeping never crosses a component boundary, so the function
+    is indifferent to whether it sees one component's edges or a
+    whole graph — which is exactly the equivalence the fusion rests
+    on, so both paths MUST run this one body."""
+    nbrs: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for a, b in zip(a_vals, b_vals):
+        nbrs.setdefault(int(a), []).append(int(b))
+        nodes.add(int(a))
+        nodes.add(int(b))
+    handled: set[int] = set()
+    for i in sorted(nodes):
+        if i in handled:
+            continue
+        handled.add(i)
+        similar = sorted(j for j in nbrs.get(i, []) if j > i)
+        if len(similar) > max_similar:
+            continue
+        if similar:
+            handled.update(similar)
+            rows.append((i, i, 0))
+            rows.extend((i, j, r + 1) for r, j in enumerate(similar))
+
+
+def _greedy_scan_v1(a_vals, b_vals, sim_vals, rows: list) -> None:
+    """v1 greedy (top-1 consume, reference_impl.greedy_clusters_v1),
+    same whole-graph-or-per-component indifference as _greedy_scan."""
+    nbrs: dict[int, list[tuple[float, int]]] = {}
+    nodes: set[int] = set()
+    for a, b, s in zip(a_vals, b_vals, sim_vals):
+        nbrs.setdefault(int(a), []).append((float(s), int(b)))
+        nodes.add(int(a))
+        nodes.add(int(b))
+    consumed: set[int] = set()
+    for i in sorted(nodes):
+        if i in consumed:
+            continue
+        consumed.add(i)
+        cands = [
+            (s, j) for s, j in nbrs.get(i, [])
+            if j > i and j not in consumed
+        ]
+        if not cands:
+            continue
+        cands.sort(key=lambda p: (-p[0], p[1]))
+        j = cands[0][1]
+        consumed.add(j)
+        rows.append((i, i, 0))
+        rows.append((i, j, 1))
+
+
 def greedy_relabel(
     edges: DataFrame,
     components: DataFrame,
@@ -597,24 +653,7 @@ def greedy_relabel(
         )
 
     def _greedy_one(sub: pd.DataFrame, rows: list) -> None:
-        nbrs: dict[int, list[int]] = {}
-        nodes = set()
-        for a, b in zip(sub["a"], sub["b"]):
-            nbrs.setdefault(int(a), []).append(int(b))
-            nodes.add(int(a))
-            nodes.add(int(b))
-        handled: set[int] = set()
-        for i in sorted(nodes):
-            if i in handled:
-                continue
-            handled.add(i)
-            similar = sorted(j for j in nbrs.get(i, []) if j > i)
-            if len(similar) > max_similar:
-                continue
-            if similar:
-                handled.update(similar)
-                rows.append((i, i, 0))
-                rows.extend((i, j, r + 1) for r, j in enumerate(similar))
+        _greedy_scan(sub["a"], sub["b"], rows, max_similar)
 
     def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # One Arrow group per HASH BUCKET of components, not per
@@ -658,28 +697,7 @@ def greedy_relabel_v1(
     ).select("component", "a", "b", "sim")
 
     def _greedy_one(sub: pd.DataFrame, rows: list) -> None:
-        nbrs: dict[int, list[tuple[float, int]]] = {}
-        nodes = set()
-        for a, b, s in zip(sub["a"], sub["b"], sub["sim"]):
-            nbrs.setdefault(int(a), []).append((float(s), int(b)))
-            nodes.add(int(a))
-            nodes.add(int(b))
-        consumed: set[int] = set()
-        for i in sorted(nodes):
-            if i in consumed:
-                continue
-            consumed.add(i)
-            cands = [
-                (s, j) for s, j in nbrs.get(i, [])
-                if j > i and j not in consumed
-            ]
-            if not cands:
-                continue
-            cands.sort(key=lambda p: (-p[0], p[1]))
-            j = cands[0][1]
-            consumed.add(j)
-            rows.append((i, i, 0))
-            rows.append((i, j, 1))
+        _greedy_scan_v1(sub["a"], sub["b"], sub["sim"], rows)
 
     def _greedy(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # Hash-bucketed dispatch, same amortization as greedy_relabel.
@@ -702,6 +720,74 @@ def greedy_relabel_v1(
             _greedy, schema="cluster_id long, doc_id long, member_rank int"
         )
     )
+
+
+def greedy_membership(
+    edges: DataFrame,
+    max_similar: int = MAX_SIMILAR,
+    mode: str = "v2",
+    local_max_edges: int = 200_000,
+) -> DataFrame:
+    """Fused CC + greedy seam (VERDICT r4 next-round #1).
+
+    The unfused seam is ``connected_components(edges)`` ->
+    ``greedy_relabel(edges, comps)``. Component labels exist there
+    only to PARTITION the greedy into independent pandas groups — the
+    greedy's handled/consumed bookkeeping never crosses a component
+    boundary, so running the same scan-order loop over the whole
+    graph yields identical clusters. When the edge list is small
+    enough that CC would take the driver union-find path anyway
+    (<= local_max_edges, the same size gate), the labels are
+    therefore pure overhead: ONE bounded collect of the
+    already-materialized edges feeds the whole-graph greedy on the
+    driver and the membership comes back as a driver-created frame.
+    Barrier count for the small-graph case drops from 5+ driver
+    actions (sym checkpoint+count, edge collect, label
+    createDataFrame, label join + bucket shuffle, applyInPandas
+    stage) to 2 (count, collect). Past the gate the distributed seam
+    runs unchanged — at 10^10-URL scale a per-batch near-dup slice
+    takes whichever side its measured edge count demands, exactly
+    like Spark's own size-gated join planning.
+
+    ``edges`` must be persisted or checkpointed by the caller (both
+    call sites comply): the gate's count and the local collect would
+    otherwise re-execute the sketch->banding->verify derivation
+    twice. Local-vs-distributed equality is pinned by
+    tests/test_clustering.py::test_greedy_membership_fused_agrees
+    (both modes) and the news_clusters_lsh driver hash oracle.
+    """
+    n_edges = edges.count()
+    if n_edges <= local_max_edges:
+        spark = edges.sparkSession
+        rows: list = []
+        if mode == "v1":
+            collected = edges.select("a", "b", "sim").collect()
+            _greedy_scan_v1(
+                (r[0] for r in collected),
+                (r[1] for r in collected),
+                (r[2] for r in collected),
+                rows,
+            )
+        else:
+            collected = edges.select("a", "b").collect()
+            _greedy_scan(
+                (r[0] for r in collected),
+                (r[1] for r in collected),
+                rows,
+                max_similar,
+            )
+        schema = T.StructType(
+            [
+                T.StructField("cluster_id", T.LongType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("member_rank", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+    comps = connected_components(edges.select("a", "b"))
+    if mode == "v1":
+        return greedy_relabel_v1(edges, comps)
+    return greedy_relabel(edges, comps, max_similar)
 
 
 def cluster_documents(
@@ -746,11 +832,7 @@ def cluster_documents(
         ).persist()
     else:
         edges = verify_pairs(pairs, toks, tags, sim_bound).persist()
-    comps = connected_components(edges)
-    if mode == "v1":
-        membership = greedy_relabel_v1(edges, comps)
-    else:
-        membership = greedy_relabel(edges, comps, max_similar)
+    membership = greedy_membership(edges, max_similar, mode=mode)
 
     meta_cols = [c for c in ("source", "title", "day_time") if c in docs.columns]
     enriched = membership.join(docs.select("doc_id", *meta_cols), "doc_id")

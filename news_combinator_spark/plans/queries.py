@@ -1504,10 +1504,9 @@ def q_news_clusters_lsh(spark, sf_dir):
     """
     from ..operators.clustering import (
         candidate_pairs,
-        connected_components,
         doc_tags,
         featurize_docs,
-        greedy_relabel,
+        greedy_membership,
         verify_pairs,
     )
 
@@ -1520,10 +1519,10 @@ def q_news_clusters_lsh(spark, sf_dir):
     edges = (
         verify_pairs(cands, feat, tags, sim_bound=0.85)
         .select("a", "b")
-        .localCheckpoint()  # verify runs once; CC + greedy both reuse
+        .localCheckpoint()  # verify runs once; the fused seam's
+        # gate-count and collect both reuse it
     )
-    comps = connected_components(edges)
-    return greedy_relabel(edges, comps, max_similar=5).orderBy(
+    return greedy_membership(edges, max_similar=5).orderBy(
         "cluster_id", "member_rank"
     )
 

@@ -199,3 +199,45 @@ def test_cc_local_and_distributed_agree(spark):
     }
     assert slocal == sdist
     assert slocal["c.test"] == "a.test"
+
+
+def test_greedy_membership_fused_agrees(spark, docs_df):
+    """The fused driver path (greedy_membership under the size gate)
+    and the unfused distributed seam (forced with local_max_edges=0:
+    connected_components -> per-component greedy) must emit identical
+    membership rows, both modes — the equivalence the r5 barrier
+    fusion rests on."""
+    from pyspark.sql import functions as F
+
+    from news_combinator_spark.operators.clustering import (
+        featurize_docs,
+        greedy_membership,
+    )
+
+    feat = featurize_docs(docs_df).persist()
+    tags = doc_tags(feat, 15)
+    pairs = candidate_pairs(feat.select("doc_id", "sig"), 16)
+    for mode, edges in (
+        ("v2", verify_pairs(pairs, feat, tags, 0.85)),
+        (
+            "v1",
+            verify_pairs(pairs, feat, tags, sim_bound=-1.0).filter(
+                F.col("sim") > 0.75
+            ),
+        ),
+    ):
+        edges = edges.persist()
+        fused = sorted(
+            map(tuple, greedy_membership(edges, 5, mode=mode).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                greedy_membership(
+                    edges, 5, mode=mode, local_max_edges=0
+                ).collect(),
+            )
+        )
+        assert fused == dist and len(fused) > 0, mode
+        edges.unpersist()
+    feat.unpersist()
