@@ -318,13 +318,23 @@ def bench_kernel_sketch(spark, n_docs: int = 100_000) -> tuple[float, int]:
     return dt, n
 
 
+# untimed input generation is pure driver Python; cache it so the
+# volume-sweep protocol (8 cells x up to 800k docs in one process)
+# doesn't spend most of its wall clock regenerating identical corpora
+_CLUSTER_ROWS_CACHE: dict[int, list] = {}
+
+
 def bench_cluster(
     spark, n_docs: int = CLUSTER_CORPUS
 ) -> tuple[float, int, int]:
-    pages = reference_grammar_pages(
-        n_pages=n_docs, seed=5, dup_rate=0.3
-    )
-    rows = [(i, p["text"], p["host"]) for i, p in enumerate(pages)]
+    rows = _CLUSTER_ROWS_CACHE.get(n_docs)
+    if rows is None:
+        pages = reference_grammar_pages(
+            n_pages=n_docs, seed=5, dup_rate=0.3
+        )
+        rows = [(i, p["text"], p["host"]) for i, p in enumerate(pages)]
+        _CLUSTER_ROWS_CACHE.clear()  # keep at most one corpus in RAM
+        _CLUSTER_ROWS_CACHE[n_docs] = rows
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"
     )

@@ -260,12 +260,14 @@ def candidate_pairs(
     pure reshape). Joining on the array itself is also hash-free:
     equal slices match exactly — no band-hash collision can merge
     distinct buckets, and no hash function needs cross-engine
-    pinning. Pair generation is a JVM-side self-equi-join on
-    (band_id, band_key) — one shuffle. Buckets larger than max_bucket
-    (boilerplate shingles) are dropped before the join: a bucket of
-    size s emits s^2/2 pairs, so one 10^6 bucket would emit 5*10^11 —
-    the guard bounds the blow-up; near-dup docs still meet in their
-    other bands.
+    pinning. Pair generation is ONE hash-aggregated shuffle of the
+    banded frame: bucket members collected per (band_id, band_key),
+    a<b pairs expanded inline by JVM array lambdas (see the shape
+    comment below). Buckets larger than max_bucket (boilerplate
+    shingles) are dropped before expansion: a bucket of size s emits
+    s^2/2 pairs, so one 10^6 bucket would emit 5*10^11 — the guard
+    bounds the blow-up; near-dup docs still meet in their other
+    bands.
     """
     rows_per_band = (F.size("sig") / bands).cast("int")
     size_cols = [size_col] if size_col else []
@@ -288,41 +290,57 @@ def candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", *size_cols, "bk.band_id", "bk.band_key")
-    # Size guard as a window count: one shuffle of the banded set, in
-    # the same (band_id, band_key) partitioning the self-join below
-    # needs — the groupBy-sizes + join-back alternative shuffles the
-    # (16x-docs-sized) banded frame twice more. Measured ~1.6x faster
-    # at 320k band rows.
-    w_bucket = Window.partitionBy("band_id", "band_key")
-    bounded = (
-        banded.withColumn("bucket_n", F.count("*").over(w_bucket))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
+    # Bucket guard + pair expansion as ONE hash aggregation (r5): the
+    # former shape — a sort-based window count over the 16x-docs
+    # banded frame followed by a sort-merge self-join on the same
+    # (band_id, band_key) array keys — sorted that frame up to three
+    # times, and the 400k-doc phase profile measured it as the
+    # cluster path's scaling ceiling (band+verify 2->8-core
+    # efficiency 0.69 vs 0.92 for the hash-aggregated tag phase;
+    # sorts of wide array-keyed rows are memory-bus-bound, and the
+    # one bus this box has is the resource added cores don't bring).
+    # Here the banded frame takes a single hash-partitioned exchange
+    # into an object-hash aggregate that collects each bucket's
+    # members (bounded by max_bucket), and the a<b pairs are expanded
+    # INLINE by JVM array lambdas over the doc-id-sorted member list
+    # — no sort anywhere, no second pass over the banded frame, and
+    # the s^2/2 blow-up stays bounded per bucket exactly as before.
+    # Identical candidate SET: same bucket membership, same
+    # <=max_bucket guard, same a<b + size-ratio conditions, same
+    # final dropDuplicates.
+    member_fields = [F.col("doc_id").alias("d")] + (
+        [F.col(size_col).alias("n")] if size_col else []
     )
-    l_extra = [F.col(size_col).alias("na")] if size_col else []
-    r_extra = [F.col(size_col).alias("nb")] if size_col else []
-    left = bounded.select(
-        "band_id", "band_key", F.col("doc_id").alias("a"), *l_extra
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct(*member_fields)).alias("ms"))
+        .filter(F.size("ms") <= max_bucket)
+        .select(F.array_sort("ms").alias("ms"))
     )
-    right = bounded.select(
-        "band_id", "band_key", F.col("doc_id").alias("b"), *r_extra
-    )
-    cond = F.col("a") < F.col("b")
+    if size_col:
+        pair_expr = (
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms)), y -> "
+            "struct(x.d as a, y.d as b, x.n as na, y.n as nb))))"
+        )
+    else:
+        pair_expr = (
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms)), y -> "
+            "struct(x.d as a, y.d as b))))"
+        )
+    pairs = buckets.select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select("p.*")
     if size_col and size_ratio is not None:
         na, nb = F.col("na"), F.col("nb")
-        cond = cond & (
+        pairs = pairs.filter(
             F.least(na, nb).cast("double")
             >= F.lit(size_ratio) * F.greatest(na, nb).cast("double")
         )
     # na/nb are functionally dependent on a/b, so keeping them through
     # the distinct costs nothing and saves the downstream size join
-    out_cols = ["a", "b"] + (["na", "nb"] if size_col else [])
-    return (
-        left.join(right, ["band_id", "band_key"])
-        .filter(cond)
-        .select(*out_cols)
-        .dropDuplicates(["a", "b"])
-    )
+    return pairs.dropDuplicates(["a", "b"])
 
 
 def verify_pairs(
@@ -726,7 +744,7 @@ def greedy_membership(
     edges: DataFrame,
     max_similar: int = MAX_SIMILAR,
     mode: str = "v2",
-    local_max_edges: int = 200_000,
+    local_max_edges: int = 50_000,
 ) -> DataFrame:
     """Fused CC + greedy seam (VERDICT r4 next-round #1).
 
@@ -748,6 +766,15 @@ def greedy_membership(
     runs unchanged — at 10^10-URL scale a per-batch near-dup slice
     takes whichever side its measured edge count demands, exactly
     like Spark's own size-gated join planning.
+
+    The gate is TIGHTER than connected_components' local-solve gate
+    (50k vs 200k edges) because the two trade different costs: CC's
+    union-find output feeds a still-parallel greedy stage, while this
+    path serializes the greedy itself on the driver — ~O(E) Python
+    seconds that no added core removes. 50k edges keeps that serial
+    share under the distributed seam's own ~2-3s fixed stage latency
+    (the break-even), so the fusion is a strict latency win below the
+    gate and never the scaling bottleneck above it.
 
     ``edges`` must be persisted or checkpointed by the caller (both
     call sites comply): the gate's count and the local collect would

@@ -644,7 +644,29 @@ def crawl(
             F.lit(r).alias("round"), "url",
             F.col("t_host").alias("host"),
             F.col("t_priority").alias("priority"), "html",
-        ).persist()
+        )
+        fetch_obs = None
+        if (
+            not collect_lineage
+            and checkpoint_dir is not None
+            and r < rounds - 1
+        ):
+            # The checkpoint's cumulative fetched count (resume
+            # numbering) used to cost a dedicated count() barrier per
+            # round (frontier.py r4, VERDICT #4). An Observation rides
+            # the round's ONE materialization instead: the metric is
+            # folded while the checkpoint write streams the fetch
+            # join, so the count is free. (In lineage mode the audit
+            # counts below still run explicitly; in the final round
+            # nothing consumes the cumulative count, so no
+            # observation and no barrier at all.)
+            from pyspark.sql import Observation
+
+            fetch_obs = Observation(f"nc_fetched_round_{r}")
+            fetched = fetched.observe(
+                fetch_obs, F.count(F.lit(1)).alias("n")
+            )
+        fetched = fetched.persist()
         fetched_rounds.append(fetched.drop("html"))
 
         if collect_lineage:
@@ -652,10 +674,6 @@ def crawl(
             metrics.scheduled = fetched.count()
             metrics.deferred = metrics.frontier - metrics.scheduled
             fetched_total += metrics.scheduled
-        elif checkpoint_dir is not None:
-            # the checkpoint's cumulative fetched count lets a resumed
-            # run continue the global fetch_order numbering
-            fetched_total += fetched.count()
 
         if r < rounds - 1:
             links = fetched.select(
@@ -720,8 +738,26 @@ def crawl(
                             "is_new", F.lit(True)
                         )
                     )
-                    .localCheckpoint()
                 )
+                if checkpoint_dir is not None:
+                    # Fold the round snapshot INTO the round's single
+                    # materialization (VERDICT r4 #4): the flagged
+                    # union is written ONCE as the checkpoint parquet
+                    # (frontier = all rows, seen delta = is_new rows —
+                    # same O(new)+O(frontier) bytes the two separate
+                    # files held) and read back as the next round's
+                    # lineage cut. vs the old shape this deletes two
+                    # jobs per round (localCheckpoint + second parquet
+                    # write), and the durable file is also the safer
+                    # cut — localCheckpoint state dies with an
+                    # executor, a checkpoint parquet does not.
+                    cpath = os.path.join(
+                        checkpoint_dir, f"round={r + 1}", "combined"
+                    )
+                    combined.write.mode("overwrite").parquet(cpath)
+                    combined = spark.read.parquet(cpath)
+                else:
+                    combined = combined.localCheckpoint()
                 frontier = combined.drop("is_new")
                 new = combined.filter("is_new").drop("is_new")
             else:  # pre-fold shape, kept for A/B measurement
@@ -744,12 +780,23 @@ def crawl(
                 else:
                     bloom = bloom.or_delta(new, "url")
             if checkpoint_dir is not None:
-                # O(new) per round: only this round's seen DELTA is
-                # written; load_checkpoint unions deltas 0..round
-                save_checkpoint(
-                    frontier, new.select("url"), checkpoint_dir, r + 1,
-                    n_fetched=fetched_total,
-                )
+                if fetch_obs is not None:
+                    # materialized by the combined write above
+                    fetched_total += int(fetch_obs.get["n"])
+                if _FOLD_ROUND_CHECKPOINTS:
+                    # data already on disk via the combined write;
+                    # only the meta record remains
+                    _write_checkpoint_meta(
+                        checkpoint_dir, r + 1, fetched_total
+                    )
+                else:
+                    # O(new) per round: only this round's seen DELTA
+                    # is written; load_checkpoint unions deltas
+                    # 0..round
+                    save_checkpoint(
+                        frontier, new.select("url"), checkpoint_dir,
+                        r + 1, n_fetched=fetched_total,
+                    )
         sched.unpersist()
         lineage.append(metrics)
 
@@ -982,6 +1029,17 @@ def resolve_redirects(
 # Checkpoint / resume (Iceberg-snapshot stand-in; SURVEY.md §2.9)
 # --------------------------------------------------------------------------
 
+def _write_checkpoint_meta(path: str, rnd: int, n_fetched: int) -> None:
+    """Atomic meta record: the cumulative fetched count a resume needs
+    to continue the global fetch_order numbering."""
+    base = os.path.join(path, f"round={rnd}")
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"round": rnd, "n_fetched": n_fetched}, f)
+    os.replace(tmp, os.path.join(base, "meta.json"))
+
+
 def save_checkpoint(
     frontier: DataFrame,
     seen_delta: DataFrame,
@@ -993,31 +1051,49 @@ def save_checkpoint(
     O(frontier)), this round's seen DELTA only (O(new) — the full seen
     set is the union of deltas 0..rnd, never rewritten), and a meta
     record with the cumulative fetched count so a resume can continue
-    the global fetch_order numbering."""
+    the global fetch_order numbering.
+
+    This two-file layout is the explicit-API path (base snapshots,
+    external callers). The crawl loop itself writes the fused
+    single-file layout instead — one `combined` parquet whose is_new
+    flag splits frontier from seen delta (see the loop comment);
+    load_checkpoint reads either."""
     base = os.path.join(path, f"round={rnd}")
     frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
     seen_delta.select("url").write.mode("overwrite").parquet(
         os.path.join(base, "seen_delta")
     )
-    tmp = os.path.join(base, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"round": rnd, "n_fetched": n_fetched}, f)
-    os.replace(tmp, os.path.join(base, "meta.json"))
+    _write_checkpoint_meta(path, rnd, n_fetched)
 
 
 def load_checkpoint(spark: SparkSession, path: str, rnd: int):
     """-> (frontier, seen, meta). seen = union of the per-round deltas
     0..rnd (each delta was written once; nothing is re-read at
     O(total) write cost — this is the read side of the O(new)/round
-    design)."""
+    design). Per round either layout is accepted: the fused
+    `combined` parquet (is_new flag splits frontier from delta) or
+    the legacy `frontier`/`seen_delta` pair."""
     base = os.path.join(path, f"round={rnd}")
-    frontier = spark.read.parquet(os.path.join(base, "frontier"))
-    delta_paths = [
-        os.path.join(path, f"round={r}", "seen_delta")
-        for r in range(rnd + 1)
-    ]
-    delta_paths = [p for p in delta_paths if os.path.exists(p)]
-    seen = spark.read.parquet(*delta_paths).select("url")
+    combined_path = os.path.join(base, "combined")
+    if os.path.exists(combined_path):
+        combined = spark.read.parquet(combined_path)
+        frontier = combined.drop("is_new")
+    else:
+        frontier = spark.read.parquet(os.path.join(base, "frontier"))
+    deltas = []
+    for r in range(rnd + 1):
+        rbase = os.path.join(path, f"round={r}")
+        cpath = os.path.join(rbase, "combined")
+        spath = os.path.join(rbase, "seen_delta")
+        if os.path.exists(cpath):
+            deltas.append(
+                spark.read.parquet(cpath).filter("is_new").select("url")
+            )
+        elif os.path.exists(spath):
+            deltas.append(spark.read.parquet(spath).select("url"))
+    seen = deltas[0]
+    for d in deltas[1:]:
+        seen = seen.unionByName(d)
     meta_path = os.path.join(base, "meta.json")
     meta = {"round": rnd, "n_fetched": 0}
     if os.path.exists(meta_path):

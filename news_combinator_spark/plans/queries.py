@@ -7169,11 +7169,21 @@ _R5_ROTATION = [
     # standing and all 37 of them rotate through here).
     #
     # Changed in r5 — MUST re-attest (standing rule: a change ships
-    # only inside the next window).
-    # (none yet — entries added here as round-5 changes land)
+    # only inside the next window): the candidate_pairs rewrite
+    # (bucket guard + pair expansion as one hash aggregation) flows
+    # into the whole minhash near-dup family, and the crawl loop's
+    # checkpoint-fold/Observation changes flow into every crawl
+    # query (crawl_frontier/crawl_seen_set sit in _ALWAYS_ATTEST;
+    # the cuckoo and host-lineage variants re-enter here).
+    "minhash_near_dups", "near_dup_groups", "canonical_best",
+    "crawl_frontier_cuckoo", "crawl_host_lineage",
     #
-    # Oldest-first refill: all 37 entries whose latest green row is
-    # CORRECTNESS_r02.json.
+    # Oldest-first refill: 36 of the 37 entries whose latest green
+    # row is CORRECTNESS_r02.json. snapshot_asof yields its slot to
+    # the changed-implementation set above (hard rule beats the soft
+    # age bound); it keeps its r2 green row — earned by the
+    # implementation it still has — plus the always-on local
+    # all-pairs gate, and heads the r6-style refill if one ever runs.
     "index_daterange", "front_page_ranking", "entry_lookup",
     "comments_sort", "group_by_day", "pricing_summary",
     "top_revenue_customers", "order_priority", "running_total",
@@ -7184,12 +7194,6 @@ _R5_ROTATION = [
     "corpus_stats", "filter_funnel", "ann_topk", "label_centroids",
     "duplicated_spans", "dup_span_stats", "pack_sequences",
     "embedding_near_dups", "ivf_ann", "link_rank", "hot_hosts",
-    "snapshot_asof",
-    # ...then the head of the r3 cohort (same order r3 attested them)
-    # to fill the remaining 4 slots. Everything else keeps its r3/r4
-    # green row plus the always-on local all-pairs gate.
-    "crawl_frontier_cuckoo", "crawl_host_lineage", "domain_mix",
-    "robots_rules",
 ]
 
 QUERIES = {

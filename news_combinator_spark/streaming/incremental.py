@@ -190,6 +190,7 @@ def streaming_politeness_scheduler(
     max_backlog: int = 100,
     schema: str = "url string, host string, priority int",
     query_name: str = "politeness",
+    drain_timeout_ms: int | None = None,
 ):
     """The frontier's C2 politeness budget as a stateful streaming
     stage: per HOST, at most ``budget`` URLs are emitted per
@@ -206,20 +207,36 @@ def streaming_politeness_scheduler(
     per-host frame the batch scheduler windows over, RocksDB-sized
     at 10^10 URLs because the cap is per HOST, not global.
 
-    NoTimeout caveat: a host's group function only runs in batches
-    where that host HAS input rows, so a fully idle host's backlog
-    waits for its next candidate (or forever). A production
-    deployment that must drain idle backlogs uses
-    ProcessingTimeTimeout with a per-host timer instead — same state
-    layout, time-based invocation; withheld here because timer
-    firings are wall-clock-dependent and this repo pins every test
-    deterministic.
+    Timeout modes: with the default ``drain_timeout_ms=None`` a
+    host's group function only runs in batches where that host HAS
+    input rows, so a fully idle host's backlog waits for its next
+    candidate. With ``drain_timeout_ms`` set, a per-host
+    ProcessingTimeTimeout timer is (re-)armed whenever a backlog
+    remains; when it fires — any later micro-batch whose processing
+    time has passed the deadline, input rows for the host or not —
+    the group function runs in timed-out mode and DRAINS up to
+    ``budget`` backlog rows (the production path: an idle host's
+    deferred URLs keep flowing at the politeness rate instead of
+    starving). State layout and the (priority, url) selection rule
+    are identical in both modes; state is removed once a host's
+    backlog fully drains. Operational note: with a timeout configured
+    the micro-batch engine polls CONTINUOUSLY (it must run batches to
+    check timer expiry even with no new data), so
+    ``query.processAllAvailable()`` never settles — harnesses poll
+    the sink on a wall-clock deadline instead, and a production
+    deployment sets a processingTime trigger to pace the polling.
+    Both modes are pinned by tests/test_misc_operators.py (the drain
+    test drives a real timer timeline and polls the sink).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if drain_timeout_ms is not None and drain_timeout_ms <= 0:
+        raise ValueError(
+            f"drain_timeout_ms must be positive, got {drain_timeout_ms}"
+        )
 
     urls = (
         spark.readStream.format("parquet").schema(schema).load(input_dir)
@@ -232,6 +249,9 @@ def streaming_politeness_scheduler(
             n_emitted = int(emitted)
         else:
             pool, n_emitted = [], 0
+        # timed-out invocation: no input rows for this host this
+        # batch — the pool is the persisted backlog alone, and the
+        # take below IS the drain
         for pdf in pdf_iter:
             pool.extend(zip(pdf["priority"], pdf["url"]))
         pool.sort(key=lambda t: (t[0], t[1]))
@@ -248,11 +268,24 @@ def streaming_politeness_scheduler(
         ) if take else pd.DataFrame(
             {"url": [], "host": [], "priority": [], "batch_seq": []}
         )
-        st.update((
-            [u for _, u in keep],
-            [int(p) for p, _ in keep],
-            n_emitted + len(take),
-        ))
+        if drain_timeout_ms is not None and not keep:
+            # fully drained: drop the host's state row entirely (the
+            # batch_seq counter restarts if the host reappears — a
+            # reappearing host is a NEW politeness session, and
+            # unbounded idle-host state rows are exactly what the
+            # timeout mode exists to evict)
+            st.remove()
+        else:
+            st.update((
+                [u for _, u in keep],
+                [int(p) for p, _ in keep],
+                n_emitted + len(take),
+            ))
+            if drain_timeout_ms is not None and keep:
+                # timers clear when they fire — re-arm while any
+                # backlog remains so the drain continues batch by
+                # batch at the politeness rate
+                st.setTimeoutDuration(drain_timeout_ms)
         yield out
 
     out = urls.groupBy("host").applyInPandasWithState(
@@ -265,7 +298,11 @@ def streaming_politeness_scheduler(
             "emitted long"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if drain_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")
